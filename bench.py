@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Headline benchmark: implicit backward-Euler steps/sec on the full-DAC
+(geballe_with_diamond) mesh, run on the default JAX backend (TPU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the baseline
+is measured live on this machine — a factor-once sparse-LU backward-Euler
+step (scipy SuperLU on the identical operator), which is the same algorithm
+the reference delegates to PETSc/MUMPS (ref run_no_diamond.py:339-344,
+529-541). The baseline measurement is cached on disk keyed by mesh shape.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+CACHE = os.path.join(ROOT, ".bench_baseline_cache.json")
+
+
+def build_flagship():
+    import jax.numpy as jnp
+    from heatflow_tpu.config import load_config
+    from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+    from heatflow_tpu.mesh.structured import build_structured_mesh
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+
+    cfg = load_config(os.path.join(ROOT, "cfgs", "geballe_with_diamond.yaml"))
+    cfg["heating"]["file"] = os.path.join(ROOT, "experimental_data",
+                                          "geballe_heat_data.csv")
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    heating = HeatingCurve.from_csv(cfg["heating"]["file"])
+    problem = build_problem(mesh, heating, cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    return problem
+
+
+def bench_tpu(problem, *, rtol=1e-5, maxiter=3000):
+    import jax
+    import jax.numpy as jnp
+    from heatflow_tpu.sim.stepper import make_simulate_fn
+
+    # the with_diamond reference loop does watcher sampling + XDMF only (no
+    # gradient projection, ref run_with_diamond.py:469-504) — benchmark the
+    # same per-step work
+    fn = jax.jit(make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
+                                  maxiter=maxiter, record_gradient=False,
+                                  record_fields=False))
+    t0 = time.time()
+    ys = fn()
+    ys["final_u"].block_until_ready()
+    compile_and_run = time.time() - t0
+
+    t0 = time.time()
+    ys = fn()
+    ys["final_u"].block_until_ready()
+    run = time.time() - t0
+
+    iters = np.asarray(ys["cg_iters"])
+    steps_per_sec = problem.num_steps / run
+    return {
+        "steps_per_sec": steps_per_sec,
+        "run_s": run,
+        "compile_and_run_s": compile_and_run,
+        "cg_iters_mean": float(iters.mean()),
+        "cg_iters_max": int(iters.max()),
+        "watch_final": np.asarray(ys["watch"])[-1].tolist(),
+    }
+
+
+def bench_baseline(problem):
+    """Factor-once sparse LU backward-Euler steps/sec (reference algorithm)
+    on this machine's CPU, on the identical operator."""
+    key = f"splu_{problem.mesh.shape[0]}x{problem.mesh.shape[1]}_{problem.dt:.3e}"
+    if os.path.exists(CACHE):
+        try:
+            cache = json.load(open(CACHE))
+            if key in cache:
+                return cache[key]
+        except Exception:
+            cache = {}
+    else:
+        cache = {}
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from heatflow_tpu.ops.stencil import stencil_to_coo
+
+    st = problem.stencils
+    A7 = (np.einsum("m,mkij->kij", problem.rho_cvs, st.M)
+          + problem.dt * np.einsum("m,mkij->kij", problem.kappas, st.K))
+    M7 = np.einsum("m,mkij->kij", problem.rho_cvs, st.M)
+    n = problem.mesh.num_nodes
+    rows, cols, vals = stencil_to_coo(A7)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsc()
+    rows, cols, vals = stencil_to_coo(M7)
+    M = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+
+    free = problem.free_mask.ravel()
+    A_ff = A[free][:, free].tocsc()
+    A_fd = A[free][:, ~free].tocsr()
+
+    t0 = time.time()
+    lu = spla.splu(A_ff)
+    factor_s = time.time() - t0
+
+    u = np.full(n, problem.ic_temp)
+    g = np.full((~free).sum(), problem.ic_temp)
+    n_steps = 5
+    t0 = time.time()
+    for _ in range(n_steps):
+        b = M @ u                      # rhs assembly equivalent
+        rhs = b[free] - A_fd @ g       # lifting
+        x = lu.solve(rhs)              # MUMPS-equivalent back-substitution
+        u[free] = x
+    per_step = (time.time() - t0) / n_steps
+    out = {"steps_per_sec": 1.0 / per_step, "factor_s": factor_s,
+           "per_step_s": per_step}
+    cache[key] = out
+    try:
+        json.dump(cache, open(CACHE, "w"))
+    except Exception:
+        pass
+    return out
+
+
+def main():
+    problem = build_flagship()
+    tpu = bench_tpu(problem)
+    base = bench_baseline(problem)
+    result = {
+        "metric": "implicit_steps_per_sec_2d_dac",
+        "value": round(tpu["steps_per_sec"], 3),
+        "unit": "steps/s",
+        "vs_baseline": round(tpu["steps_per_sec"] / base["steps_per_sec"], 3),
+    }
+    # diagnostics to stderr; the contract is ONE json line on stdout
+    print(f"# mesh {problem.mesh.shape}, {problem.mesh.num_nodes} nodes; "
+          f"tpu: {tpu}; baseline: {base}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""2D axisymmetric transient driver — the framework's flagship entry point.
+
+Parameter surface, on-disk artifacts, and console reporting mirror the
+reference's ``run_simulation`` (ref run_no_diamond.py:29-653 and
+run_with_diamond.py:27-551; the material layout is auto-detected from the
+config so one driver covers both the 5-material and the 9-material DAC
+geometry). Outputs per run:
+
+  * ``used_config.yaml``          — copy of the config actually used
+  * ``watcher_points.csv``        — time column + one column per watcher
+  * ``radial_gradient.csv``       — z-binned band-averaged ∂T/∂r (time index)
+  * ``radial_gradient_raw.csv``   — raw ∂T/∂r at r=0 nodes (time index)
+  * ``output.xdmf`` / ``.h5``     — full temperature time series
+  * mesh folder: ``mesh.msh`` + ``mesh_cfg.yaml`` (with material_tags)
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import copy
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from heatflow_tpu.config import load_config, save_config, validate_config
+from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+from heatflow_tpu.mesh.msh_io import write_msh
+from heatflow_tpu.mesh.structured import build_structured_mesh, mesh_from_meta
+from heatflow_tpu.io.csvio import write_gradient_csv, write_watcher_csv
+from heatflow_tpu.io.xdmfio import XDMFTimeSeriesWriter
+from heatflow_tpu.sim.bc import HeatingCurve
+from heatflow_tpu.sim.problem import build_problem
+from heatflow_tpu.sim.stepper import run_transient
+
+
+@contextlib.contextmanager
+def suppress_output(enabled: bool):
+    """Silence stdout/stderr (sweep workers), ref run_no_diamond.py:20-27."""
+    if not enabled:
+        yield
+    else:
+        with open(os.devnull, "w") as fnull:
+            with contextlib.redirect_stdout(fnull), \
+                 contextlib.redirect_stderr(fnull):
+                yield
+
+
+def default_dtype():
+    """float64 when x64 is enabled (CPU parity runs), else float32 (TPU)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout):
+    """Build-or-load the mesh, persisting/consuming mesh.msh + mesh_cfg.yaml
+    exactly like the reference (ref run_no_diamond.py:140-180)."""
+    mesh_cfg_path = os.path.join(mesh_folder, "mesh_cfg.yaml")
+    mesh_file_path = os.path.join(mesh_folder, "mesh.msh")
+    domain, mats = build_layout(cfg, layout)
+
+    if rebuild_mesh:
+        mesh = build_structured_mesh(domain, mats)
+        os.makedirs(mesh_folder, exist_ok=True)
+        mesh_cfg = copy.deepcopy(cfg)
+        mesh_cfg["material_tags"] = dict(mesh.material_tags)
+        mesh_cfg["structured_grid"] = mesh.to_meta()
+        with open(mesh_cfg_path, "w") as f:
+            yaml.safe_dump(mesh_cfg, f)
+        tris, tri_tags = mesh.triangles()
+        write_msh(mesh_file_path, mesh.node_coords(), tris, tri_tags,
+                  mesh.material_tags)
+        return mesh
+    missing = [n for n, p in (("mesh.msh", mesh_file_path),
+                              ("mesh_cfg.yaml", mesh_cfg_path))
+               if not os.path.isfile(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"Missing required file(s) in {mesh_folder}: {', '.join(missing)}")
+    with open(mesh_cfg_path) as f:
+        mesh_cfg = yaml.safe_load(f)
+    if "structured_grid" not in mesh_cfg:
+        raise ValueError(
+            f"{mesh_cfg_path} lacks 'structured_grid' metadata; rebuild the "
+            "mesh or import the .msh via heatflow_tpu.mesh.msh_io")
+    return mesh_from_meta(mesh_cfg["structured_grid"], materials=mats)
+
+
+def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
+                   output_folder=None, watcher_points=None, write_xdmf=True,
+                   suppress_print=False, *, layout="auto", dtype=None,
+                   rtol=None, maxiter=20000, record_gradient=True):
+    """Run the 2D transient simulation. See module docstring for outputs.
+
+    watcher_points: dict name -> (z, r), or list of {'name','coords'} dicts
+    (same accepted forms as the reference, ref run_no_diamond.py:385-393).
+    """
+    with suppress_output(suppress_print):
+        t_start = time.time()
+        validate_config(cfg, require_heating_file=True)
+        dtype = dtype or default_dtype()
+        if rtol is None:
+            rtol = 1e-11 if dtype == jnp.float64 else 1e-6
+
+        mesh = _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout)
+        print(f"Mesh ready: {mesh.shape[0]} x {mesh.shape[1]} grid = "
+              f"{mesh.num_nodes} nodes, {2 * mesh.num_cells} triangles")
+        if visualize_mesh:
+            print("(mesh visualization: open the mesh.msh in gmsh, or plot "
+                  "mesh.z/mesh.r grid lines)")
+
+        heating = HeatingCurve.from_csv(cfg["heating"]["file"])
+
+        if isinstance(watcher_points, list):
+            watcher_points = {pt["name"]: tuple(pt["coords"])
+                              for pt in watcher_points}
+        elif watcher_points is not None and not isinstance(watcher_points, dict):
+            raise ValueError("watcher_points must be a dict or list of dicts")
+
+        print("Assigning material properties...")
+        problem = build_problem(mesh, heating, cfg,
+                                watcher_points=watcher_points)
+        print("Material properties assigned.")
+
+        # output folder layout (ref run_no_diamond.py:348-362)
+        if output_folder is not None:
+            save_folder = output_folder
+        else:
+            save_folder = os.path.join(os.getcwd(), "sim_outputs",
+                                       "heatflow_tpu_run")
+        os.makedirs(save_folder, exist_ok=True)
+        save_config(cfg, os.path.join(save_folder, "used_config.yaml"))
+
+        print("Beginning loop...")
+        t_loop = time.time()
+        result = run_transient(problem, dtype=dtype, rtol=rtol,
+                               maxiter=maxiter,
+                               record_gradient=record_gradient,
+                               record_fields=write_xdmf)
+        # scan results are already on host after run_transient
+        t_end = time.time()
+
+        # ---------------- outputs ----------------
+        if watcher_points:
+            write_watcher_csv(
+                os.path.join(save_folder, "watcher_points.csv"),
+                result.times,
+                {n: result.watcher[:, k]
+                 for k, n in enumerate(result.watcher_names)})
+        if record_gradient and result.band_rows is not None:
+            write_gradient_csv(
+                os.path.join(save_folder, "radial_gradient.csv"),
+                result.times, result.band_centers, result.band_rows)
+            write_gradient_csv(
+                os.path.join(save_folder, "radial_gradient_raw.csv"),
+                result.times, result.axis_z, result.axis_rows)
+        if write_xdmf:
+            tris, _ = mesh.triangles()
+            w = XDMFTimeSeriesWriter(
+                os.path.join(save_folder, "output.xdmf"),
+                mesh.node_coords(), tris)
+            w.write(np.full(mesh.num_nodes, problem.ic_temp), 0.0)
+            for s, t in enumerate(result.times):
+                w.write(result.fields[s].ravel(), float(t))
+            w.close()
+
+        # ---------------- timing summary (ref :619-630) ----------------
+        total = t_end - t_start
+        loop = t_end - t_loop
+        per_step = loop / max(1, problem.num_steps)
+        print("\n--- Timing Summary ---")
+        print(f"Total time: {total:.2f} s")
+        print(f"Startup time: {t_loop - t_start:.2f} s")
+        print(f"Loop time: {loop:.2f} s (includes jit compile)")
+        print(f"Average time per step: {per_step:.4f} s")
+        print(f"CG iterations/step: min {result.cg_iters.min()} "
+              f"max {result.cg_iters.max()} mean {result.cg_iters.mean():.1f}")
+        print("----------------------\n")
+        return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="heatflow_tpu 2D transient solver")
+    p.add_argument("--config", type=str, default="simulation_template.yaml")
+    p.add_argument("--mesh-folder", type=str, default="meshes")
+    p.add_argument("--rebuild-mesh", action="store_true")
+    p.add_argument("--visualize-mesh", action="store_true")
+    p.add_argument("--output-folder", type=str, default=None)
+    p.add_argument("--watcher-points", type=str, default=None,
+                   help="YAML/JSON mapping name -> [z, r]; 'auto' places "
+                        "points at the coupler centers")
+    p.add_argument("--write-xdmf", action="store_true")
+    p.add_argument("--suppress-print", action="store_true")
+    p.add_argument("--layout", choices=["auto", "no_diamond", "with_diamond"],
+                   default="auto")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if args.watcher_points == "auto":
+        wp = coupler_watcher_points(cfg)
+    elif args.watcher_points:
+        wp = {k: tuple(v) for k, v in yaml.safe_load(args.watcher_points).items()}
+    else:
+        wp = None
+    run_simulation(cfg, args.mesh_folder, args.rebuild_mesh,
+                   args.visualize_mesh, args.output_folder, wp,
+                   args.write_xdmf, args.suppress_print, layout=args.layout)
+
+
+if __name__ == "__main__":
+    main()

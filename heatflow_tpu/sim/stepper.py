@@ -83,8 +83,11 @@ def make_simulate_fn(problem: Problem2D,
     heat_t, heat_T = dev["heat_t"], dev["heat_T"]
     amp_offset = heat_T[0] - ic  # ref run_no_diamond.py:299-301
 
-    diag_mp = M_proj[0]
-    proj_pre = jacobi_preconditioner(diag_mp)
+    # Symmetrically scaled mass solve for the gradient projection: operator
+    # entries span ~15 decades (r-weight × h² factors), so CG runs on
+    # D^{-1/2} A D^{-1/2} — unit diagonal, f32-safe.
+    s_mp = jax.lax.rsqrt(jnp.where(M_proj[0] > 0, M_proj[0], 1.0))
+    apply_Mp_s = lambda y: s_mp * apply_stencil(M_proj, s_mp * y)
 
     def simulate(kappas=None, rho_cvs=None, fwhm=None):
         kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, dtype)
@@ -92,9 +95,13 @@ def make_simulate_fn(problem: Problem2D,
         fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, dtype)
 
         A, M_op = combine_operator(K, M, kp, rc, dt)
-        diag_a = A[0]
-        pre = jacobi_preconditioner(diag_a, free) \
-            if precondition == "jacobi" else (lambda r: r * free)
+        diag_a = A[..., 0, :, :]
+        # Symmetric Jacobi scaling (≡ Jacobi preconditioning in exact
+        # arithmetic, numerically far better at low precision).
+        s = jax.lax.rsqrt(jnp.where(diag_a > 0, diag_a, 1.0)) * free \
+            + dirich
+        apply_A_s = lambda y: s * apply_stencil(A, s * y)
+
         coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fw * fw)
         profile = jnp.exp(coeff * r_sq) * base  # Gaussian on the heating line
 
@@ -104,31 +111,29 @@ def make_simulate_fn(problem: Problem2D,
             # ic on fixed edges (ref run_no_diamond.py:303-309)
             return ic * dirich + (amp - ic) * profile
 
-        apply_A = lambda v: apply_stencil(A, v)
-        apply_Mp = lambda v: apply_stencil(M_proj, v)
-
         def step(carry, t):
             u_prev, gr_prev = carry
             g = bc_values(t)
             b = apply_stencil(M_op, u_prev)
-            b_lift = b - apply_stencil(A, g)
-            x0 = u_prev * free
+            b_lift = (b - apply_stencil(A, g)) * s
+            y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
             if fixed_iters is not None:
-                sol = pcg_fixed(apply_A, b_lift, x0, precond=pre, mask=free,
+                sol = pcg_fixed(apply_A_s, b_lift, y0, mask=free,
                                 iters=fixed_iters)
             else:
-                sol = pcg(apply_A, b_lift, x0, precond=pre, mask=free,
+                sol = pcg(apply_A_s, b_lift, y0, mask=free,
                           rtol=rtol, maxiter=maxiter)
-            u = sol.x * free + g
+            u = sol.x * s * free + g
 
             outs = {"cg_iters": sol.iters}
             if has_watch:
                 outs["watch"] = u.reshape(-1)[dev["watch_flat"]]
             if has_radial:
-                br = apply_stencil(G_r, u)
-                gsol = pcg(apply_Mp, br, gr_prev, precond=proj_pre,
+                br = s_mp * apply_stencil(G_r, u)
+                y0p = gr_prev / s_mp
+                gsol = pcg(apply_Mp_s, br, y0p,
                            rtol=proj_rtol, maxiter=proj_maxiter)
-                gr = gsol.x
+                gr = gsol.x * s_mp
                 vals = gr.reshape(-1)[dev["band_nodes"]]
                 sums = jax.ops.segment_sum(vals, dev["band_bins"],
                                            num_segments=n_bins)
@@ -150,6 +155,34 @@ def make_simulate_fn(problem: Problem2D,
         return ys
 
     return simulate
+
+
+def make_step_fn(problem: Problem2D, *, dtype=jnp.float32,
+                 fixed_iters: int = 100):
+    """A single jittable backward-Euler step ``step(u, t) -> u_next`` on the
+    problem's operator (fixed-iteration CG → fully static control flow).
+    Used by the compile-check entry point and by external integrators."""
+    dev = problem.device_arrays(dtype)
+    dt = jnp.asarray(problem.dt, dtype)
+    ic = jnp.asarray(problem.ic_temp, dtype)
+    A, M_op = combine_operator(dev["K"], dev["M"], dev["kappas"],
+                               dev["rho_cvs"], dt)
+    free, dirich = dev["free"], dev["dirichlet"]
+    s = jax.lax.rsqrt(jnp.where(A[0] > 0, A[0], 1.0)) * free + dirich
+    coeff = jnp.asarray(-4.0 * np.log(2.0) / problem.fwhm ** 2, dtype)
+    profile = jnp.exp(coeff * dev["r_sq"]) * dev["heat_profile_base"]
+    amp_offset = dev["heat_T"][0] - ic
+    apply_A_s = lambda y: s * apply_stencil(A, s * y)
+
+    def step(u_prev, t):
+        amp = jnp.interp(t, dev["heat_t"], dev["heat_T"]) - amp_offset
+        g = ic * dirich + (amp - ic) * profile
+        b_lift = (apply_stencil(M_op, u_prev) - apply_stencil(A, g)) * s
+        y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
+        sol = pcg_fixed(apply_A_s, b_lift, y0, mask=free, iters=fixed_iters)
+        return sol.x * s * free + g
+
+    return step
 
 
 def run_transient(problem: Problem2D, *, dtype=jnp.float64,
