@@ -1,0 +1,206 @@
+"""Parameter-sweep engine: the reference's multiprocessing grid search
+(ref parameter_sweep.py:289-536) re-designed as vmapped TPU batches.
+
+Grid: FWHM (log-spaced) x sample conductivity (log-spaced) x sample width
+(linear). Width changes the geometry, so runs are grouped by width with one
+mesh per group (ref :367-373); within a group the whole (fwhm, k) plane runs
+as a single sharded, vmapped, jitted scan — thousands of concurrent transient
+solves per chip instead of one process per config.
+
+Artifacts match the reference: sweep_metadata.json, successful_runs.csv,
+failed_runs.csv, per-run directories named fwhm_{:.2e}_k_{:.2f}_width_{:.2e}
+with watcher_points.csv + used_config.yaml.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from heatflow_tpu.config import load_config, save_config, with_parameters
+from heatflow_tpu.drivers.run2d import _prepare_mesh, default_dtype
+from heatflow_tpu.geometry import coupler_watcher_points
+from heatflow_tpu.io.csvio import write_watcher_csv
+from heatflow_tpu.sim.bc import HeatingCurve
+from heatflow_tpu.sim.problem import build_problem
+from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+
+
+def create_parameter_grid(fwhm_range, k_range, width_range, num_points):
+    """Log x log x linear grid, grouped by width first (ref :195-235)."""
+    nf, nk, nw = num_points
+    fwhm_vals = np.logspace(np.log10(fwhm_range[0]), np.log10(fwhm_range[1]),
+                            nf)
+    k_vals = np.logspace(np.log10(k_range[0]), np.log10(k_range[1]), nk)
+    width_vals = np.linspace(width_range[0], width_range[1], nw)
+    combos = [{"fwhm": f, "k": k, "width": w}
+              for w in width_vals
+              for f, k in itertools.product(fwhm_vals, k_vals)]
+    return combos, fwhm_vals, k_vals, width_vals
+
+
+def run_name(fwhm, k, width):
+    """Reference directory naming incl. its string transforms (ref :145)."""
+    return (f"fwhm_{fwhm:.2e}_k_{k:.2f}_width_{width:.2e}"
+            .replace("+", "").replace("-0", "-"))
+
+
+def mesh_folder_for_width(base_mesh_folder, width):
+    w = f"{width:.3e}".replace("+", "").replace("-0", "-")
+    return os.path.join(base_mesh_folder, f"width_{w}")
+
+
+def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
+                        width_range, num_points, base_mesh_folder="meshes",
+                        write_xdmf=False, suppress_print=True,
+                        num_processes=None, *, dtype=None,
+                        batch_size: int | None = None,
+                        save_run_dirs: bool = True, devices=None):
+    """Run the sweep. ``num_processes`` is accepted for API parity and
+    ignored — parallelism is the vmapped batch sharded over TPU devices."""
+    del write_xdmf  # per-run XDMF in sweeps is supported only via run2d
+    dtype = dtype or (jnp.float32 if jax.default_backend() != "cpu"
+                      else default_dtype())
+    if isinstance(base_config_path, dict):
+        base_config, base_config_name = base_config_path, "<dict>"
+    else:
+        base_config = load_config(base_config_path)
+        base_config_name = str(base_config_path)
+
+    combos, fwhm_vals, k_vals, width_vals = create_parameter_grid(
+        fwhm_range, k_range, width_range, num_points)
+    os.makedirs(output_dir, exist_ok=True)
+
+    metadata = {
+        "base_config": base_config_name,
+        "fwhm_range": list(fwhm_range), "k_range": list(k_range),
+        "width_range": list(width_range), "num_points": list(num_points),
+        "fwhm_values": fwhm_vals.tolist(), "k_values": k_vals.tolist(),
+        "width_values": width_vals.tolist(), "total_runs": len(combos),
+        "engine": "heatflow_tpu vmapped batch",
+        "devices": [str(d) for d in (devices or jax.devices())],
+        "timestamp": datetime.now().isoformat(),
+        "watcher_points": {
+            "description": "Temperature monitoring points positioned halfway "
+                           "through the coupler layers",
+            "locations": {"pside": "Center of p-side coupler (r=0)",
+                          "oside": "Center of o-side coupler (r=0)"},
+        },
+    }
+    with open(os.path.join(output_dir, "sweep_metadata.json"), "w") as f:
+        json.dump(metadata, f, indent=2)
+
+    results, failed = [], []
+    total_done = 0
+    t_sweep = time.time()
+
+    for width in width_vals:
+        group = [c for c in combos if c["width"] == width]
+        mesh_folder = mesh_folder_for_width(base_mesh_folder, width)
+        os.makedirs(mesh_folder, exist_ok=True)
+        cfg_w = with_parameters(base_config, fwhm=group[0]["fwhm"],
+                                sample_k=group[0]["k"], sample_z=width)
+        rebuild = not (os.path.exists(os.path.join(mesh_folder, "mesh.msh"))
+                       and os.path.exists(os.path.join(mesh_folder,
+                                                       "mesh_cfg.yaml")))
+        mesh = _prepare_mesh(cfg_w, mesh_folder, rebuild, "auto")
+        heating = HeatingCurve.from_csv(cfg_w["heating"]["file"])
+        wp = coupler_watcher_points(cfg_w)
+        problem = build_problem(mesh, heating, cfg_w, watcher_points=wp)
+        sweep_fn = jax.jit(make_sweep_fn(problem, dtype=dtype))
+
+        ks = np.array([c["k"] for c in group])
+        fs = np.array([c["fwhm"] for c in group])
+        B = len(group)
+        chunk = batch_size or B
+        t_group = time.time()
+        traces = []
+        for s in range(0, B, chunk):
+            tr = sweep_fn(ks[s:s + chunk], fs[s:s + chunk])
+            traces.append(np.asarray(tr))
+        traces = np.concatenate(traces, axis=0)      # (B, S, W)
+        group_runtime = time.time() - t_group
+
+        times = sweep_fn.times
+        ok = np.all(np.isfinite(traces), axis=(1, 2))
+        for i, combo in enumerate(group):
+            total_done += 1
+            name = run_name(combo["fwhm"], combo["k"], width)
+            run_dir = os.path.join(output_dir, name)
+            rec = {"run_id": total_done, "run_name": name,
+                   "fwhm": combo["fwhm"], "k": combo["k"], "width": width,
+                   "output_dir": run_dir,
+                   "runtime": group_runtime / B,
+                   "status": "success" if ok[i] else "failed",
+                   "error": None if ok[i] else "non-finite trace"}
+            if ok[i]:
+                if save_run_dirs:
+                    os.makedirs(run_dir, exist_ok=True)
+                    write_watcher_csv(
+                        os.path.join(run_dir, "watcher_points.csv"), times,
+                        {n: traces[i, :, j] for j, n in
+                         enumerate(problem.watcher_names)})
+                    save_config(
+                        with_parameters(base_config, fwhm=combo["fwhm"],
+                                        sample_k=combo["k"], sample_z=width),
+                        os.path.join(run_dir, "used_config.yaml"))
+                results.append(rec)
+            else:
+                failed.append(rec)
+        if not suppress_print:
+            print(f"width {width:.2e}: {B} runs in {group_runtime:.2f}s "
+                  f"({B / group_runtime:.1f} configs/s)")
+
+    if results:
+        pd.DataFrame(results).to_csv(
+            os.path.join(output_dir, "successful_runs.csv"), index=False)
+    if failed:
+        pd.DataFrame(failed).to_csv(
+            os.path.join(output_dir, "failed_runs.csv"), index=False)
+
+    total_time = time.time() - t_sweep
+    if not suppress_print:
+        print(f"PARAMETER SWEEP COMPLETE: {len(results)} ok, "
+              f"{len(failed)} failed, {total_time:.2f}s total "
+              f"({len(combos) / total_time:.1f} configs/s)")
+    return results, failed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="heatflow_tpu vmapped parameter sweep")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--output-dir", type=str, required=True)
+    p.add_argument("--fwhm-range", type=float, nargs=2, default=[1e-6, 1e-4])
+    p.add_argument("--k-range", type=float, nargs=2, default=[1.0, 100.0])
+    p.add_argument("--width-range", type=float, nargs=2,
+                   default=[1e-6, 10e-6])
+    p.add_argument("--num-points", type=int, nargs=3, default=[5, 5, 3])
+    p.add_argument("--mesh-folder", type=str, default="meshes")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+    if any(x <= 0 for x in args.num_points):
+        p.error("Number of points must be positive")
+    for rng_name in ("fwhm_range", "k_range", "width_range"):
+        lo, hi = getattr(args, rng_name)
+        if lo <= 0 or hi <= 0:
+            p.error(f"{rng_name} must be positive")
+    run_parameter_sweep(
+        args.config, args.output_dir, tuple(args.fwhm_range),
+        tuple(args.k_range), tuple(args.width_range),
+        tuple(args.num_points), base_mesh_folder=args.mesh_folder,
+        suppress_print=not args.verbose, batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

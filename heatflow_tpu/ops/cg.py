@@ -92,6 +92,26 @@ def pcg(apply_op: Callable[[jnp.ndarray], jnp.ndarray],
                     converged=_dot(r, r) <= stop2)
 
 
+def pcg_solve(apply_op, b, x0, *, precond=None, mask=None, rtol=1e-10,
+              atol=0.0, maxiter=2000) -> jnp.ndarray:
+    """Differentiable PCG solve via implicit differentiation.
+
+    Wraps :func:`pcg` in ``lax.custom_linear_solve(symmetric=True)`` so
+    reverse-mode gradients cost one additional CG solve (adjoint system)
+    instead of unrolling the iteration — the enabler for gradient-based
+    experimental fitting (∂trace/∂κ, ∂RMSE/∂FWHM).
+
+    Constrained dofs must carry zeros in both ``b`` and ``x0`` so the masked
+    operator is consistent on the full space.
+    """
+    def solve_fn(mv, rhs):
+        return pcg(mv, rhs, x0, precond=precond, mask=mask, rtol=rtol,
+                   atol=atol, maxiter=maxiter).x
+
+    op = (lambda v: apply_op(v) * mask) if mask is not None else apply_op
+    return jax.lax.custom_linear_solve(op, b, solve_fn, symmetric=True)
+
+
 def pcg_fixed(apply_op, b, x0, *, precond=None, mask=None, iters: int = 50
               ) -> CGResult:
     """Fixed-iteration PCG (no convergence test) — fully static control flow

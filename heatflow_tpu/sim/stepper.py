@@ -89,6 +89,13 @@ def make_simulate_fn(problem: Problem2D,
     s_mp = jax.lax.rsqrt(jnp.where(M_proj[0] > 0, M_proj[0], 1.0))
     apply_Mp_s = lambda y: s_mp * apply_stencil(M_proj, s_mp * y)
 
+    mg_levels = None
+    if precondition == "mg":
+        from heatflow_tpu.ops.multigrid import build_hierarchy, device_levels
+        hierarchy = build_hierarchy(problem.mesh, problem.dirichlet_mask,
+                                    stencils=problem.stencils)
+        mg_levels = device_levels(hierarchy, dtype)
+
     def simulate(kappas=None, rho_cvs=None, fwhm=None):
         kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, dtype)
         rc = dev["rho_cvs"] if rho_cvs is None else jnp.asarray(rho_cvs, dtype)
@@ -101,6 +108,19 @@ def make_simulate_fn(problem: Problem2D,
         s = jax.lax.rsqrt(jnp.where(diag_a > 0, diag_a, 1.0)) * free \
             + dirich
         apply_A_s = lambda y: s * apply_stencil(A, s * y)
+
+        pre = None
+        if mg_levels is not None:
+            from heatflow_tpu.ops.multigrid import make_vcycle
+            level_ops = []
+            for lv in mg_levels:
+                A_l, _ = combine_operator(lv["K"], lv["M"], kp, rc, dt)
+                level_ops.append({**lv, "A": A_l})
+            vcycle = make_vcycle(level_ops)
+            inv_s = 1.0 / jnp.where(s > 0, s, 1.0)
+            # V-cycle approximates A⁻¹; conjugate it into the scaled system:
+            # precond(r̃) = S⁻¹ (vcycle(S⁻¹ r̃))
+            pre = lambda r: inv_s * vcycle(inv_s * r)
 
         coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fw * fw)
         profile = jnp.exp(coeff * r_sq) * base  # Gaussian on the heating line
@@ -118,10 +138,10 @@ def make_simulate_fn(problem: Problem2D,
             b_lift = (b - apply_stencil(A, g)) * s
             y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
             if fixed_iters is not None:
-                sol = pcg_fixed(apply_A_s, b_lift, y0, mask=free,
-                                iters=fixed_iters)
+                sol = pcg_fixed(apply_A_s, b_lift, y0, precond=pre,
+                                mask=free, iters=fixed_iters)
             else:
-                sol = pcg(apply_A_s, b_lift, y0, mask=free,
+                sol = pcg(apply_A_s, b_lift, y0, precond=pre, mask=free,
                           rtol=rtol, maxiter=maxiter)
             u = sol.x * s * free + g
 
@@ -190,12 +210,13 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   fixed_iters: int | None = None,
                   record_gradient: bool = True,
                   record_fields: bool = False,
+                  precondition: str = "jacobi",
                   kappas=None, rho_cvs=None, fwhm=None) -> TransientResult:
     """Convenience wrapper: build, jit, run, and repatriate results."""
     fn = jax.jit(make_simulate_fn(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
-        record_fields=record_fields))
+        record_fields=record_fields, precondition=precondition))
     ys = fn(kappas, rho_cvs, fwhm)
     ys = jax.tree.map(np.asarray, ys)
 

@@ -1,0 +1,134 @@
+"""Batched sweep kernel: thousands of transient runs per chip via vmap.
+
+The reference runs sweeps as a multiprocessing pool of full processes, one
+config at a time (ref parameter_sweep.py:436-446, sweep_test.py:104-107).
+Here a sweep config differs from the base problem only in the sample
+conductivity and the laser FWHM (ref modify_config_for_parameters,
+parameter_sweep.py:238-266 — width changes rebuild the mesh and form separate
+width groups), so the batched operator is expressed as
+
+    A_b = A_base + dt * Δκ_b * K_sample
+
+which keeps per-config memory to the solution fields only — the stencils are
+shared across the whole batch. The entire time loop for the whole batch is
+one jitted scan; lanes that diverge produce NaNs and are reported as failed
+runs rather than crashing the batch (ref :447-509's serial fallback).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heatflow_tpu.ops.cg import pcg_fixed, pcg_solve
+from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
+from heatflow_tpu.sim.problem import Problem2D
+
+
+def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
+                  dtype=jnp.float32, rtol: float = 1e-6,
+                  maxiter: int = 4000, fixed_iters: int | None = None,
+                  precondition: str = "jacobi"):
+    """Build simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces
+    (B, S, W). vmappable/shardable along B; differentiable in both inputs."""
+    dev = problem.device_arrays(dtype)
+    num_steps = int(problem.num_steps)
+    dt = jnp.asarray(problem.dt, dtype)
+    ic = jnp.asarray(problem.ic_temp, dtype)
+    nz, nr = problem.mesh.shape
+    if "watch_flat" not in dev:
+        raise ValueError("sweeps need watcher points on the problem")
+    watch = dev["watch_flat"]
+
+    # stencil slots are ordered by tag, i.e. by material insertion order
+    m_idx = list(problem.mesh.material_tags).index(vary_material)
+    base_k = float(problem.kappas[m_idx])
+
+    A0, M_op = combine_operator(dev["K"], dev["M"], dev["kappas"],
+                                dev["rho_cvs"], dt)
+    K_var = dev["K"][m_idx]
+    free, dirich = dev["free"], dev["dirichlet"]
+    base = dev["heat_profile_base"]
+    r_sq = dev["r_sq"]
+    heat_t, heat_T = dev["heat_t"], dev["heat_T"]
+    amp_offset = heat_T[0] - ic
+
+    mg_levels = None
+    if precondition == "mg":
+        from heatflow_tpu.ops.multigrid import build_hierarchy, device_levels
+        hierarchy = build_hierarchy(problem.mesh, problem.dirichlet_mask,
+                                    stencils=problem.stencils)
+        mg_levels = device_levels(hierarchy, dtype)
+        mg_base = []
+        for lv in mg_levels:
+            A_l, _ = combine_operator(lv["K"], lv["M"], dev["kappas"],
+                                      dev["rho_cvs"], dt)
+            mg_base.append({**lv, "A0": A_l})
+
+    def one_config(sample_k, fwhm):
+        dk = (jnp.asarray(sample_k, dtype) - base_k) * dt
+        apply_A = lambda v: apply_stencil(A0, v) + dk * apply_stencil(K_var, v)
+        diag = A0[0] + dk * K_var[0]
+        s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
+        apply_s = lambda y: s * apply_A(s * y)
+
+        pre = None
+        if mg_levels is not None:
+            from heatflow_tpu.ops.multigrid import make_vcycle
+            level_ops = [{**lv, "A": lv["A0"] + dk * lv["K"][m_idx]}
+                         for lv in mg_base]
+            vcycle = make_vcycle(level_ops, nu_pre=1, nu_post=1)
+            inv_s = 1.0 / jnp.where(s > 0, s, 1.0)
+            pre = lambda r: inv_s * vcycle(inv_s * r)
+
+        coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fwhm * fwhm)
+        profile = jnp.exp(coeff * r_sq) * base
+
+        def step(u_prev, t):
+            amp = jnp.interp(t, heat_t, heat_T) - amp_offset
+            g = ic * dirich + (amp - ic) * profile
+            b = (apply_stencil(M_op, u_prev) - apply_A(g)) * s * free
+            y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
+            if fixed_iters is not None:
+                x = pcg_fixed(apply_s, b, y0, precond=pre, mask=free,
+                              iters=fixed_iters).x
+            else:
+                x = pcg_solve(apply_s, b, y0, precond=pre, mask=free,
+                              rtol=rtol, maxiter=maxiter)
+            u = x * s * free + g
+            return u, u.reshape(-1)[watch]
+
+        u0 = jnp.full((nz, nr), ic, dtype)
+        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt
+        _, traces = jax.lax.scan(step, u0, ts)
+        return traces  # (S, W)
+
+    def simulate_batch(sample_k, fwhm):
+        return jax.vmap(one_config)(jnp.asarray(sample_k, dtype),
+                                    jnp.asarray(fwhm, dtype))
+
+    simulate_batch.one_config = one_config
+    simulate_batch.times = (np.arange(1, num_steps + 1) * problem.dt)
+    return simulate_batch
+
+
+def normalized_oside_rmse(times, traces, exp_time, exp_oside_normed,
+                          pside_col: int = 0, oside_col: int = 1):
+    """On-device sweep objective: the reference's fit metric — normalized
+    o-side RMSE against the experimental trace (ref no_diamond.py:65-99,
+    analysis_utils.py:66-93). traces: (..., S, W). Differentiable, so sweeps
+    can be replaced by gradient-based fitting."""
+    pside = traces[..., pside_col]
+    oside = traces[..., oside_col]
+    denom = pside.max(axis=-1) - pside.min(axis=-1)
+    normed = (oside - oside[..., :1]) / denom[..., None]
+
+    def interp_one(vals):
+        return jnp.interp(exp_time, times, vals)
+
+    flat = normed.reshape((-1, normed.shape[-1]))
+    sim_at_exp = jax.vmap(interp_one)(flat)
+    sim_at_exp = sim_at_exp.reshape(normed.shape[:-1] + (len(exp_time),))
+    err = sim_at_exp - exp_oside_normed
+    return jnp.sqrt(jnp.mean(err * err, axis=-1))

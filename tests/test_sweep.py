@@ -1,0 +1,130 @@
+"""Sweep engine: batched kernel == per-config runs; objective gradients;
+driver artifacts; failure masking."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from heatflow_tpu.drivers.sweep import (create_parameter_grid, run_name,
+                                        run_parameter_sweep)
+from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+from heatflow_tpu.mesh.structured import build_structured_mesh
+from heatflow_tpu.sim.bc import HeatingCurve
+from heatflow_tpu.sim.problem import build_problem
+from heatflow_tpu.sim.stepper import run_transient
+from heatflow_tpu.sim.sweepkernel import make_sweep_fn, normalized_oside_rmse
+from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
+
+
+@pytest.fixture(scope="module")
+def sweep_problem():
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["timing"]["num_steps"] = 5
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                           temp=df["temp"].to_numpy(),
+                           oside=df["oside"].to_numpy())
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    wp = coupler_watcher_points(cfg)
+    problem = build_problem(mesh, heating, cfg, watcher_points=wp)
+    return cfg, problem, heating
+
+
+def test_batched_matches_individual_runs(sweep_problem):
+    """The delta-operator sweep kernel must reproduce full per-config runs."""
+    cfg, problem, _ = sweep_problem
+    fn = jax.jit(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-12))
+    ks = np.array([2.0, 3.8, 7.5])
+    fs = np.array([4e-6, 6e-6, 9e-6])
+    traces = np.asarray(fn(ks, fs))
+
+    for i in range(3):
+        kap = problem.kappas.copy()
+        kap[list(problem.mesh.material_tags).index("p_sample")] = ks[i]
+        res = run_transient(problem, rtol=1e-12, record_gradient=False,
+                            kappas=kap, fwhm=fs[i])
+        scale = np.abs(res.watcher).max()
+        assert np.abs(traces[i] - res.watcher).max() / scale < 1e-9
+
+
+def test_objective_and_gradient(sweep_problem):
+    """The RMSE objective is computable and differentiable wrt (k, fwhm) —
+    the gradient-based-fitting capability the reference cannot offer."""
+    cfg, problem, heating = sweep_problem
+    fn = make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-12)
+    ic = problem.ic_temp
+    shifted = heating.oside - heating.oside[0] + ic
+    exp_normed = (shifted - shifted[0]) / (heating.temp.max()
+                                           - heating.temp.min())
+    times = jnp.asarray(fn.times)
+    exp_t = jnp.asarray(heating.time)
+    exp_o = jnp.asarray(exp_normed)
+
+    def objective(k, fwhm):
+        tr = fn.one_config(k, fwhm)
+        return normalized_oside_rmse(times, tr, exp_t, exp_o)
+
+    k0, f0 = 3.8, 6e-6
+    val, grads = jax.value_and_grad(objective, argnums=(0, 1))(k0, f0)
+    assert np.isfinite(float(val))
+    gk, gf = float(grads[0]), float(grads[1])
+    # finite-difference check on dRMSE/dk
+    eps = 1e-4
+    fd = (float(objective(k0 + eps, f0)) - float(objective(k0 - eps, f0))) \
+        / (2 * eps)
+    assert gk == pytest.approx(fd, rel=2e-3, abs=1e-9)
+    assert np.isfinite(gf)
+
+
+def test_grid_layout():
+    combos, fv, kv, wv = create_parameter_grid(
+        (1e-6, 1e-4), (1.0, 100.0), (1e-6, 3e-6), (3, 2, 2))
+    assert len(combos) == 12
+    np.testing.assert_allclose(fv, np.logspace(-6, -4, 3))
+    # grouped by width first
+    assert [c["width"] for c in combos[:6]] == [1e-6] * 6
+
+
+def test_run_name_format():
+    assert run_name(1.32e-5, 3.8, 1.84e-6) == "fwhm_1.32e-5_k_3.80_width_1.84e-6"
+
+
+def test_sweep_driver_artifacts(tmp_path):
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    cfg_path = tmp_path / "base.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    out = str(tmp_path / "sweep_out")
+    results, failed = run_parameter_sweep(
+        str(cfg_path), out, (4e-6, 8e-6), (2.0, 6.0), (1.5e-6, 2.0e-6),
+        (2, 2, 2), base_mesh_folder=str(tmp_path / "meshes"),
+        suppress_print=True, dtype=jnp.float64)
+    assert len(results) == 8 and not failed
+
+    meta = json.load(open(os.path.join(out, "sweep_metadata.json")))
+    assert meta["total_runs"] == 8
+    df = pd.read_csv(os.path.join(out, "successful_runs.csv"))
+    assert len(df) == 8 and set(df["status"]) == {"success"}
+
+    # per-run artifacts in reference format
+    d0 = df.iloc[0]["output_dir"]
+    w = pd.read_csv(os.path.join(d0, "watcher_points.csv"))
+    assert list(w.columns) == ["time", "pside", "oside"]
+    used = yaml.safe_load(open(os.path.join(d0, "used_config.yaml")))
+    assert used["mats"]["p_sample"]["k"] == pytest.approx(df.iloc[0]["k"])
+
+    # mesh reuse: one mesh folder per width
+    mesh_dirs = os.listdir(tmp_path / "meshes")
+    assert len(mesh_dirs) == 2
