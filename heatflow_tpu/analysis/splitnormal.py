@@ -1,0 +1,329 @@
+"""Split-normal (two-sided Gaussian) fitting of radial-gradient profiles.
+
+Reference: gaussian_fit_analysis.py:24-201 fits, per timestep, the 5-parameter
+model (amplitude, center, sigma_left, sigma_right, offset) with
+scipy.curve_fit and a ±amplitude initial-guess race; a second pass re-fits
+only the amplitude with shape parameters frozen to their time averages; the
+fitted curves export to a gradient-format CSV consumed by the corrected 1D
+model (ref no_diamond_1d.py:41-54).
+
+TPU-native re-design: a damped Gauss-Newton (Levenberg-Marquardt) solver with
+analytic Jacobians, vmapped over (timestep × initial guess) so the entire
+time series fits in one jitted call; the amplitude-only pass is solved in
+closed form (it is linear least squares).
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "split_normal_function",
+    "fit_split_normal_to_profile",
+    "fit_split_normal_amplitude_only",
+    "analyze_split_normal_fits",
+    "analyze_split_normal_fits_amplitude_only",
+    "save_fitted_curves_csv",
+    "plot_split_normal_analysis",
+    "plot_residual_analysis",
+]
+
+
+def split_normal_function(r, amplitude, center, sigma_left, sigma_right,
+                          offset=0.0):
+    """Two-sided Gaussian: different widths left/right of center
+    (ref gaussian_fit_analysis.py:24-52)."""
+    r = np.asarray(r) if not isinstance(r, jnp.ndarray) else r
+    sig = jnp.where(r < center, sigma_left, sigma_right) \
+        if isinstance(r, jnp.ndarray) else \
+        np.where(r < center, sigma_left, sigma_right)
+    xp = jnp if isinstance(r, jnp.ndarray) else np
+    return amplitude * xp.exp(-0.5 * ((r - center) / sig) ** 2) + offset
+
+
+def _model_and_jac(params, r):
+    amp, c, sl, sr, off = params
+    sig = jnp.where(r < c, sl, sr)
+    u = (r - c) / sig
+    e = jnp.exp(-0.5 * u * u)
+    f = amp * e + off
+    d_amp = e
+    d_c = amp * e * u / sig
+    d_sig = amp * e * u * u / sig
+    d_sl = jnp.where(r < c, d_sig, 0.0)
+    d_sr = jnp.where(r < c, 0.0, d_sig)
+    d_off = jnp.ones_like(r)
+    J = jnp.stack([d_amp, d_c, d_sl, d_sr, d_off], axis=-1)
+    return f, J
+
+
+def _project(params, r_lo, r_hi):
+    amp, c, sl, sr, off = params
+    r_range = r_hi - r_lo
+    return jnp.stack([amp, jnp.clip(c, r_lo, r_hi),
+                      jnp.clip(sl, 1e-12, r_range),
+                      jnp.clip(sr, 1e-12, r_range), off])
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _lm_fit(r, y, p0, r_lo, r_hi, iters: int = 60):
+    """Levenberg-Marquardt on the 5-parameter model, masked-NaN aware."""
+    valid = jnp.isfinite(y) & jnp.isfinite(r)
+    w = valid.astype(y.dtype)
+    y0 = jnp.where(valid, y, 0.0)
+
+    def body(state, _):
+        p, lam, best_p, best_err = state
+        f, J = _model_and_jac(p, r)
+        res = (y0 - jnp.where(valid, f, 0.0)) * w
+        g = J.T @ res
+        H = (J * w[:, None]).T @ J
+        step = jnp.linalg.solve(H + lam * jnp.diag(jnp.diag(H))
+                                + 1e-30 * jnp.eye(5), g)
+        p_new = _project(p + step, r_lo, r_hi)
+        f_new, _ = _model_and_jac(p_new, r)
+        err_new = jnp.sum(((y0 - f_new) * w) ** 2)
+        err_old = jnp.sum(res ** 2)
+        improved = err_new < err_old
+        p = jnp.where(improved, p_new, p)
+        lam = jnp.where(improved, lam * 0.5, lam * 2.5)
+        lam = jnp.clip(lam, 1e-12, 1e12)
+        better = err_new < best_err
+        best_p = jnp.where(better, p_new, best_p)
+        best_err = jnp.where(better, err_new, best_err)
+        return (p, lam, best_p, best_err), None
+
+    init_err = jnp.sum(((y0 - _model_and_jac(p0, r)[0]) * w) ** 2)
+    state = (p0, jnp.asarray(1e-3, y.dtype), p0, init_err)
+    (p, _lam, best_p, best_err), _ = jax.lax.scan(body, state, None,
+                                                  length=iters)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    rmse = jnp.sqrt(best_err / n)
+    return best_p, rmse
+
+
+def _initial_guesses(r, y):
+    valid = np.isfinite(y) & np.isfinite(r)
+    rv, yv = r[valid], y[valid]
+    amp_abs = float(np.abs(yv.max() - yv.min()))
+    center = float(rv[np.argmax(np.abs(yv))])
+    sigma = float(np.std(rv) / 4) if np.std(rv) > 0 else 1e-6
+    offset = float(yv.min())
+    return [np.array([amp_abs, center, sigma, sigma, offset]),
+            np.array([-amp_abs, center, sigma, sigma, offset])]
+
+
+def fit_split_normal_to_profile(radial_positions, gradient_values,
+                                initial_guess=None, fit_method="rmse"):
+    """Fit one profile; returns (params list, error) — the reference's
+    single-profile API (ref :55-103). The ±amplitude guess race is kept."""
+    r = np.asarray(radial_positions, float)
+    y = np.asarray(gradient_values, float)
+    valid = np.isfinite(y) & np.isfinite(r)
+    if valid.sum() < 4:
+        return [0.0, 0.0, 1.0, 1.0, 0.0], np.inf
+    guesses = ([np.asarray(initial_guess, float)] if initial_guess is not None
+               else _initial_guesses(r, y))
+    r_lo, r_hi = float(r[valid].min()), float(r[valid].max())
+    best = ([0.0, 0.0, 1.0, 1.0, 0.0], np.inf)
+    for g in guesses:
+        p, rmse = _lm_fit(jnp.asarray(r), jnp.asarray(y), jnp.asarray(g),
+                          r_lo, r_hi)
+        p, rmse = np.asarray(p), float(rmse)
+        err = rmse
+        if fit_method == "maxerr":
+            f = split_normal_function(r[valid], *p)
+            err = float(np.max(np.abs(y[valid] - f)))
+        if err < best[1]:
+            best = (list(map(float, p)), err)
+    return best
+
+
+def fit_split_normal_amplitude_only(radial_positions, gradient_values,
+                                    fixed_params):
+    """Amplitude-only refit with frozen shape — linear least squares, solved
+    in closed form (ref :106-126 uses curve_fit for the same problem)."""
+    center, sigma_left, sigma_right, offset = fixed_params
+    r = np.asarray(radial_positions, float)
+    y = np.asarray(gradient_values, float)
+    valid = np.isfinite(y) & np.isfinite(r)
+    if valid.sum() < 4:
+        return 0.0, np.inf
+    rv, yv = r[valid], y[valid]
+    basis = split_normal_function(rv, 1.0, center, sigma_left, sigma_right,
+                                  0.0)
+    denom = float(basis @ basis)
+    amp = float(basis @ (yv - offset)) / denom if denom > 0 else 0.0
+    rmse = float(np.sqrt(np.mean((yv - (amp * basis + offset)) ** 2)))
+    return amp, rmse
+
+
+def analyze_split_normal_fits(plotter, fit_method="rmse") -> dict:
+    """Fit every timestep (ref :129-176). All timesteps and both initial
+    guesses fit in one vmapped LM call."""
+    times = np.asarray(plotter.time_values, float)
+    r = np.asarray(plotter.radial_positions, float)
+    grid = plotter.data.iloc[:, 1:].to_numpy(float)
+
+    guesses = np.stack([np.stack(_initial_guesses(r, row)) for row in grid])
+    r_lo, r_hi = float(np.nanmin(r)), float(np.nanmax(r))
+
+    fit2 = jax.vmap(lambda y, gs: jax.vmap(
+        lambda g: _lm_fit(jnp.asarray(r), y, g, r_lo, r_hi))(gs))
+    ps, rmses = fit2(jnp.asarray(grid), jnp.asarray(guesses))
+    ps, rmses = np.asarray(ps), np.asarray(rmses)
+    pick = rmses.argmin(axis=1)
+    params = ps[np.arange(len(times)), pick]
+    errs = rmses[np.arange(len(times)), pick]
+
+    r2 = np.empty(len(times))
+    for i, row in enumerate(grid):
+        valid = np.isfinite(row)
+        f = split_normal_function(r[valid], *params[i])
+        ss_res = np.sum((row[valid] - f) ** 2)
+        ss_tot = np.sum((row[valid] - row[valid].mean()) ** 2)
+        r2[i] = 1 - ss_res / ss_tot if ss_tot > 0 else 0.0
+
+    return {
+        "time_values": times,
+        "amplitudes": params[:, 0], "centers": params[:, 1],
+        "sigma_lefts": params[:, 2], "sigma_rights": params[:, 3],
+        "offsets": params[:, 4], "rmse_values": errs,
+        "r_squared_values": r2,
+    }
+
+
+def analyze_split_normal_fits_amplitude_only(plotter, avg_center,
+                                             avg_sigma_left, avg_sigma_right,
+                                             avg_offset) -> dict:
+    """Amplitude-only pass with frozen averaged shape (ref :179-201)."""
+    times = np.asarray(plotter.time_values, float)
+    r = np.asarray(plotter.radial_positions, float)
+    grid = plotter.data.iloc[:, 1:].to_numpy(float)
+    amps, rmses = [], []
+    for row in grid:
+        a, e = fit_split_normal_amplitude_only(
+            r, row, [avg_center, avg_sigma_left, avg_sigma_right, avg_offset])
+        amps.append(a)
+        rmses.append(e)
+    return {"time_values": times, "amplitudes": np.asarray(amps),
+            "center": avg_center, "sigma_left": avg_sigma_left,
+            "sigma_right": avg_sigma_right, "offset": avg_offset,
+            "rmse_values": np.asarray(rmses)}
+
+
+def save_fitted_curves_csv(results: dict, radial_positions, path: str):
+    """Write fitted curves in the gradient-CSV format so run_1d can consume
+    them as a radial_gradient_path (ref :431-440, no_diamond_1d.py:41)."""
+    from heatflow_tpu.io.csvio import write_gradient_csv
+    r = np.asarray(radial_positions, float)
+    times = results["time_values"]
+    if "centers" in results:
+        rows = np.stack([
+            split_normal_function(r, a, c, sl, sr, o)
+            for a, c, sl, sr, o in zip(
+                results["amplitudes"], results["centers"],
+                results["sigma_lefts"], results["sigma_rights"],
+                results["offsets"])])
+    else:
+        rows = np.stack([
+            split_normal_function(r, a, results["center"],
+                                  results["sigma_left"],
+                                  results["sigma_right"], results["offset"])
+            for a in results["amplitudes"]])
+    write_gradient_csv(path, times, r, rows)
+
+
+def plot_split_normal_analysis(results, save_path=None, show_plot=True):
+    """Parameter-evolution panel (ref :204-428, condensed)."""
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+    t = results["time_values"]
+    panels = [("amplitudes", "Amplitude (K/m)"),
+              ("centers", "Center (m)"), ("sigma_lefts", "σ_left (m)"),
+              ("sigma_rights", "σ_right (m)"), ("offsets", "Offset (K/m)"),
+              ("rmse_values", "Fit RMSE (K/m)")]
+    for ax, (key, label) in zip(axes.ravel(), panels):
+        if key in results:
+            ax.plot(t, results[key], "o-", ms=3)
+        ax.set_xlabel("Time (s)")
+        ax.set_ylabel(label)
+        ax.grid(alpha=0.3)
+    fig.suptitle("Split-normal fit evolution")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=300, bbox_inches="tight")
+    if show_plot:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, axes
+
+
+def plot_residual_analysis(plotter, results, save_path=None, show_plot=True):
+    import matplotlib.pyplot as plt
+    r = np.asarray(plotter.radial_positions, float)
+    grid = plotter.data.iloc[:, 1:].to_numpy(float)
+    resid = np.stack([
+        grid[i] - split_normal_function(
+            r, results["amplitudes"][i], results["centers"][i],
+            results["sigma_lefts"][i], results["sigma_rights"][i],
+            results["offsets"][i])
+        for i in range(len(results["time_values"]))])
+    fig, ax = plt.subplots(figsize=(10, 6))
+    vmax = np.abs(resid).max()
+    im = ax.pcolormesh(r, results["time_values"], resid, cmap="RdBu_r",
+                       vmin=-vmax, vmax=vmax, shading="nearest")
+    fig.colorbar(im, ax=ax, label="Residual (K/m)")
+    ax.set_xlabel("Radial Position (m)")
+    ax.set_ylabel("Time (s)")
+    ax.set_title("Split-normal fit residuals")
+    if save_path:
+        fig.savefig(save_path, dpi=300, bbox_inches="tight")
+    if show_plot:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax
+
+
+def main(argv=None):
+    from heatflow_tpu.analysis.radial import RadialGradientPlotter
+    p = argparse.ArgumentParser(description="Split-normal gradient fitting")
+    p.add_argument("data_path", type=str)
+    p.add_argument("--fit-method", choices=["rmse", "maxerr"],
+                   default="rmse")
+    p.add_argument("--amplitude-only", action="store_true",
+                   help="second pass with time-averaged shape parameters")
+    p.add_argument("--save-csv", type=str, default=None,
+                   help="export fitted curves (gradient CSV format)")
+    p.add_argument("--save-plots", type=str, default=None)
+    p.add_argument("--no-show", action="store_true")
+    args = p.parse_args(argv)
+
+    plotter = RadialGradientPlotter(args.data_path)
+    results = analyze_split_normal_fits(plotter, fit_method=args.fit_method)
+    print(f"Fitted {len(results['time_values'])} timesteps; "
+          f"mean R² = {results['r_squared_values'].mean():.4f}")
+    if args.amplitude_only:
+        results = analyze_split_normal_fits_amplitude_only(
+            plotter, float(results["centers"].mean()),
+            float(results["sigma_lefts"].mean()),
+            float(results["sigma_rights"].mean()),
+            float(results["offsets"].mean()))
+    if args.save_csv:
+        save_fitted_curves_csv(results, plotter.radial_positions,
+                               args.save_csv)
+        print(f"Fitted curves written to {args.save_csv}")
+    if args.save_plots or not args.no_show:
+        plot_split_normal_analysis(results, save_path=args.save_plots,
+                                   show_plot=not args.no_show)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,7 @@ def make_simulate_fn(problem: Problem2D,
                                     stencils=problem.stencils)
         mg_levels = device_levels(hierarchy, dtype)
 
-    def simulate(kappas=None, rho_cvs=None, fwhm=None):
+    def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None):
         kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, dtype)
         rc = dev["rho_cvs"] if rho_cvs is None else jnp.asarray(rho_cvs, dtype)
         fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, dtype)
@@ -166,7 +166,11 @@ def make_simulate_fn(problem: Problem2D,
                 outs["field"] = u
             return (u, gr), outs
 
-        u0 = jnp.full((nz, nr), ic, dtype)
+        # initial condition: constant ic_temp, or a provided field (e.g. a
+        # steady-state solve used as the transient start, the with_ir_steady
+        # notebook workflow)
+        u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
+            else jnp.asarray(u0, dtype)
         gr0 = jnp.zeros((nz, nr), dtype)
         ts = (jnp.arange(1, num_steps + 1, dtype=dtype)) * dt
         (u_fin, _), ys = jax.lax.scan(step, (u0, gr0), ts)
@@ -211,13 +215,14 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   record_gradient: bool = True,
                   record_fields: bool = False,
                   precondition: str = "jacobi",
-                  kappas=None, rho_cvs=None, fwhm=None) -> TransientResult:
+                  kappas=None, rho_cvs=None, fwhm=None,
+                  u0=None) -> TransientResult:
     """Convenience wrapper: build, jit, run, and repatriate results."""
     fn = jax.jit(make_simulate_fn(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
         record_fields=record_fields, precondition=precondition))
-    ys = fn(kappas, rho_cvs, fwhm)
+    ys = fn(kappas, rho_cvs, fwhm, u0)
     ys = jax.tree.map(np.asarray, ys)
 
     rad = problem.radial if record_gradient else None

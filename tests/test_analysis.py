@@ -1,0 +1,149 @@
+"""Analysis layer: RMSE/normalization, radial plotter, split-normal fitting,
+gradient diagnostics."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from heatflow_tpu.analysis.compare import calculate_rmse, normalized_traces
+from heatflow_tpu.analysis.gradcheck import (analyze_gradient_data,
+                                             test_source_term_magnitude as
+                                             source_term_magnitude)
+from heatflow_tpu.analysis.radial import RadialGradientPlotter
+from heatflow_tpu.analysis.splitnormal import (
+    analyze_split_normal_fits, analyze_split_normal_fits_amplitude_only,
+    fit_split_normal_amplitude_only, fit_split_normal_to_profile,
+    save_fitted_curves_csv, split_normal_function)
+from heatflow_tpu.io.csvio import read_gradient_csv, write_gradient_csv
+
+
+def test_calculate_rmse_matches_manual():
+    exp_t = np.array([0.0, 1.0, 2.0])
+    exp_d = np.array([0.0, 0.5, 1.0])
+    sim_t = np.array([0.0, 2.0])
+    sim_d = np.array([0.0, 1.0])
+    # sim interpolated onto exp_t is exactly exp_d → rmse 0
+    assert calculate_rmse(exp_t, exp_d, sim_t, sim_d) == pytest.approx(0.0)
+    assert calculate_rmse(exp_t, exp_d + 1.0, sim_t, sim_d) == \
+        pytest.approx(1.0)
+
+
+def test_normalized_traces_reference_math():
+    df_sim = pd.DataFrame({"pside": [300.0, 500.0, 400.0],
+                           "oside": [300.0, 350.0, 380.0]})
+    df_exp = pd.DataFrame({"temp": [2000.0, 3000.0, 2500.0],
+                           "oside": [2400.0, 2600.0, 2500.0]})
+    tr = normalized_traces(df_sim, df_exp, ic_temp=300.0)
+    np.testing.assert_allclose(tr["sim_pside"], [0.0, 1.0, 0.5])
+    # o-side normalized by the P-SIDE span (200)
+    np.testing.assert_allclose(tr["sim_oside"], [0.0, 0.25, 0.4])
+    np.testing.assert_allclose(tr["exp_pside"], [0.0, 1.0, 0.5])
+    # shifted o-side: 300, 500, 400 → normalized by exp temp span (1000)
+    np.testing.assert_allclose(tr["exp_oside"], [0.0, 0.2, 0.1])
+
+
+@pytest.fixture
+def gradient_csv(tmp_path):
+    rng = np.random.default_rng(0)
+    times = np.linspace(1e-7, 7.5e-6, 20)
+    z = np.linspace(-4e-6, 7e-6, 40)
+    amp = -2e6 * np.exp(-((times - 2e-6) / 1.5e-6) ** 2)
+    rows = amp[:, None] * np.exp(-0.5 * ((z[None, :] + 1e-6) / 8e-7) ** 2) \
+        + 100.0 + rng.standard_normal((20, 40)) * 50.0
+    p = tmp_path / "radial_gradient.csv"
+    write_gradient_csv(str(p), times, z, rows)
+    return str(p), times, z, rows
+
+
+def test_radial_plotter(gradient_csv, tmp_path):
+    path, times, z, rows = gradient_csv
+    pl = RadialGradientPlotter(path)
+    np.testing.assert_allclose(pl.time_values, times)
+    np.testing.assert_allclose(pl.radial_positions, z)
+    s = pl.get_data_summary()
+    assert s["num_time_points"] == 20
+    assert s["peak_gradient"] == pytest.approx(rows.min(), rel=1e-12)
+    fig, _ = pl.plot_gradient_evolution(time_indices=[0, 10],
+                                        show_plot=False,
+                                        save_path=str(tmp_path / "e.png"))
+    fig, _ = pl.plot_heatmap(show_plot=False,
+                             save_path=str(tmp_path / "h.png"))
+    assert (tmp_path / "e.png").exists() and (tmp_path / "h.png").exists()
+
+
+def test_split_normal_fit_recovers_parameters():
+    r = np.linspace(-5e-6, 5e-6, 80)
+    true = (-3e6, -1e-6, 1.2e-6, 2.5e-6, 150.0)
+    y = split_normal_function(r, *true)
+    params, err = fit_split_normal_to_profile(r, y)
+    amp, c, sl, sr, off = params
+    assert amp == pytest.approx(true[0], rel=1e-4)
+    assert c == pytest.approx(true[1], rel=1e-3, abs=1e-9)
+    assert sl == pytest.approx(true[2], rel=1e-3)
+    assert sr == pytest.approx(true[3], rel=1e-3)
+    assert off == pytest.approx(true[4], rel=1e-3, abs=1.0)
+    assert err < 1e-1
+
+
+def test_split_normal_fit_with_noise_and_nans():
+    rng = np.random.default_rng(1)
+    r = np.linspace(-5e-6, 5e-6, 60)
+    y = split_normal_function(r, 2e6, 0.5e-6, 1e-6, 1.5e-6, -50.0)
+    y = y + rng.standard_normal(60) * 1e4
+    y[::13] = np.nan
+    params, err = fit_split_normal_to_profile(r, y)
+    assert params[0] == pytest.approx(2e6, rel=0.05)
+    assert np.isfinite(err)
+
+
+def test_split_normal_too_few_points():
+    params, err = fit_split_normal_to_profile(
+        np.array([0.0, 1.0]), np.array([1.0, np.nan]))
+    assert params == [0.0, 0.0, 1.0, 1.0, 0.0] and err == np.inf
+
+
+def test_amplitude_only_closed_form():
+    r = np.linspace(-4e-6, 4e-6, 50)
+    shape = (0.0, 1e-6, 2e-6, 10.0)
+    y = split_normal_function(r, -5e5, *shape[:3], shape[3])
+    amp, rmse = fit_split_normal_amplitude_only(r, y, list(shape))
+    assert amp == pytest.approx(-5e5, rel=1e-10)
+    assert rmse == pytest.approx(0.0, abs=1e-6)
+
+
+def test_analyze_all_timesteps_and_export(gradient_csv, tmp_path):
+    path, times, z, rows = gradient_csv
+    pl = RadialGradientPlotter(path)
+    results = analyze_split_normal_fits(pl)
+    assert len(results["amplitudes"]) == 20
+    # the synthetic data IS a gaussian + noise: fits should be excellent at
+    # high-amplitude timesteps
+    peak = np.argmax(np.abs(results["amplitudes"]))
+    assert results["r_squared_values"][peak] > 0.98
+
+    amp_only = analyze_split_normal_fits_amplitude_only(
+        pl, float(results["centers"].mean()),
+        float(results["sigma_lefts"].mean()),
+        float(results["sigma_rights"].mean()),
+        float(results["offsets"].mean()))
+    assert len(amp_only["amplitudes"]) == 20
+
+    out = tmp_path / "gaussfit_full.csv"
+    save_fitted_curves_csv(results, pl.radial_positions, str(out))
+    t2, z2, v2 = read_gradient_csv(str(out))
+    np.testing.assert_allclose(t2, times)
+    np.testing.assert_allclose(z2, z)
+    assert v2.shape == rows.shape
+
+
+def test_gradcheck(gradient_csv):
+    path, *_ = gradient_csv
+    stats = analyze_gradient_data(path)
+    assert stats["num_timesteps"] == 20
+    assert stats["nonzero_fraction"] > 0.99
+    st = source_term_magnitude(path)
+    assert st["max_abs_source"] > 0
