@@ -78,6 +78,44 @@ def structured_row_mask(z: np.ndarray, r: np.ndarray, location: str, *,
     raise ValueError(f"unknown BC location {location!r}")
 
 
+def node_row_mask(nodes: np.ndarray, location: str, *,
+                  coord: float | None = None, center: float | None = None,
+                  length: float | None = None,
+                  width: float = DEFAULT_WIDTH) -> np.ndarray:
+    """(N,) boolean mask over arbitrary (z, r) node arrays — the unstructured
+    counterpart of :func:`structured_row_mask`, matching RowDirichletBC's
+    geometric predicates verbatim (ref bc.py:56-101)."""
+    z, r = nodes[:, 0], nodes[:, 1]
+    zmin, zmax = z.min(), z.max()
+    rmin, rmax = r.min(), r.max()
+    zmid, rmid = 0.5 * (zmin + zmax), 0.5 * (rmin + rmax)
+
+    if location == "left":
+        return _close(z, zmin, width) & _centred(r, rmid, length)
+    if location == "right":
+        return _close(z, zmax, width) & _centred(r, rmid, length)
+    if location == "bottom":
+        return _close(r, rmin, width) & _centred(z, zmid, length)
+    if location == "top":
+        return _close(r, rmax, width) & _centred(z, zmid, length)
+    if location == "outer":
+        out = np.zeros(len(nodes), bool)
+        for loc in ("left", "right", "bottom", "top"):
+            out |= node_row_mask(nodes, loc, length=length, width=width)
+        return out
+    if location == "x":
+        if coord is None:
+            raise ValueError("coord required for location='x'")
+        ctr = zmid if center is None else center  # reference quirk, bc.py:47
+        return _close(z, float(coord), width) & _centred(r, ctr, length)
+    if location == "y":
+        if coord is None:
+            raise ValueError("coord required for location='y'")
+        ctr = rmid if center is None else center
+        return _close(r, float(coord), width) & _centred(z, ctr, length)
+    raise ValueError(f"unknown BC location {location!r}")
+
+
 @dataclass
 class HeatingCurve:
     """Experimental heating trace driving the laser boundary condition.

@@ -1,0 +1,202 @@
+"""Transient solver on imported unstructured meshes (ELL operator path).
+
+Runs the same backward-Euler / Gaussian-laser / watcher / radial-gradient
+pipeline as the structured stepper but on an arbitrary P1 triangle mesh —
+e.g. a gmsh .msh produced by the reference toolchain — enabling exact-mesh
+parity runs (SURVEY.md §7 'Unstructured-mesh parity'). Node/cell semantics
+follow the reference everywhere:
+
+  * watcher points → nearest mesh node (ref run_no_diamond.py:397-401);
+  * raw gradient CSV → nodes with |r| <= 1e-12 sorted by z (ref :457-465);
+  * band CSV → 0.2 µm z-bins of band nodes 0 < r <= 0.25 µm (ref :494-513).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+from heatflow_tpu.ops.cg import pcg
+from heatflow_tpu.ops.ell import (EllOps, assemble_ell, ell_apply,
+                                  ell_combine, ell_diag)
+from heatflow_tpu.sim.bc import HeatingCurve, gaussian_coeff, node_row_mask
+from heatflow_tpu.sim.problem import AXIS_TOL, BAND_RMAX, BIN_DZ
+
+
+@dataclass
+class ProblemUnstructured:
+    mesh: UnstructuredMesh
+    ell: EllOps
+    heating: HeatingCurve
+    dt: float
+    num_steps: int
+    ic_temp: float
+    fwhm: float
+    kappas: np.ndarray
+    rho_cvs: np.ndarray
+    dirichlet: np.ndarray            # (N,) bool
+    heat_mask: np.ndarray            # (N,) bool
+    watcher_names: list[str] = field(default_factory=list)
+    watcher_nodes: np.ndarray | None = None
+    band_nodes: np.ndarray | None = None
+    band_bins: np.ndarray | None = None
+    bin_counts: np.ndarray | None = None
+    bin_centers: np.ndarray | None = None
+    axis_nodes: np.ndarray | None = None
+    axis_z: np.ndarray | None = None
+
+
+def build_problem_unstructured(mesh: UnstructuredMesh, heating: HeatingCurve,
+                               cfg: dict, *, watcher_points=None,
+                               heat_coord: float | None = None,
+                               heat_length: float | None = None
+                               ) -> ProblemUnstructured:
+    """Assemble the ELL problem. heat_coord/heat_length default to the
+    config-derived p-side coupler line (requires reference-schema mats)."""
+    from heatflow_tpu.config import mat_float
+    nodes = mesh.nodes
+    n_mats = len(mesh.material_tags) or int(mesh.cell_tags.max())
+    tag_order = sorted(mesh.material_tags.items(), key=lambda kv: kv[1])
+    if tag_order:
+        kappas = np.array([mat_float(cfg, nm, "k") for nm, _ in tag_order])
+        rho_cvs = np.array([mat_float(cfg, nm, "rho")
+                            * mat_float(cfg, nm, "cv") for nm, _ in tag_order])
+    else:
+        raise ValueError("mesh lacks material name → tag mapping")
+
+    if heat_coord is None:
+        z_sample = mat_float(cfg, "p_sample", "z")
+        z_ins_pside = mat_float(cfg, "p_ins", "z")
+        z_coupler = mat_float(cfg, "p_coupler", "z")
+        has_diam = "p_diam" in cfg["mats"]
+        z_diam = mat_float(cfg, "p_diam", "z") if has_diam else 0.0
+        zmin = -(z_sample / 2) - z_ins_pside - z_coupler - z_diam
+        heat_coord = zmin + z_diam + z_ins_pside
+    if heat_length is None:
+        heat_length = 2.0 * abs(mat_float(cfg, "p_sample", "r"))
+
+    edge = (node_row_mask(nodes, "left") | node_row_mask(nodes, "right")
+            | node_row_mask(nodes, "top"))
+    heat = node_row_mask(nodes, "x", coord=heat_coord, center=0.0,
+                         length=heat_length)
+    dirichlet = edge | heat
+
+    names, widx = [], None
+    if watcher_points:
+        names = list(watcher_points.keys())
+        pts = np.asarray(list(watcher_points.values()), float)
+        d2 = ((nodes[None, :, :] - pts[:, None, :]) ** 2).sum(-1)
+        widx = d2.argmin(axis=1)
+
+    # radial sampling (reference node rules)
+    r = nodes[:, 1]
+    z = nodes[:, 0]
+    axis_nodes = np.where(np.abs(r) <= AXIS_TOL)[0]
+    order = np.argsort(z[axis_nodes])
+    axis_nodes = axis_nodes[order]
+    band_sel = np.where((r > 0.0) & (r <= BAND_RMAX))[0]
+    edges = np.arange(z.min(), z.max() + BIN_DZ, BIN_DZ)
+    raw_bin = np.searchsorted(edges, z[band_sel]) - 1
+    valid = (raw_bin >= 0) & (raw_bin < len(edges) - 1)
+    band_sel, raw_bin = band_sel[valid], raw_bin[valid]
+    used = np.unique(raw_bin)
+    remap = -np.ones(len(edges) - 1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    bins = remap[raw_bin]
+    counts = np.bincount(bins, minlength=len(used)).astype(float)
+    centers = 0.5 * (edges[used] + edges[used + 1])
+
+    t_final = float(cfg["timing"]["t_final"])
+    num_steps = int(cfg["timing"]["num_steps"])
+    return ProblemUnstructured(
+        mesh=mesh,
+        ell=assemble_ell(mesh.nodes, mesh.cells, mesh.cell_tags, n_mats),
+        heating=heating, dt=t_final / num_steps, num_steps=num_steps,
+        ic_temp=float(cfg["heating"]["ic_temp"]),
+        fwhm=float(cfg["heating"]["fwhm"]), kappas=kappas, rho_cvs=rho_cvs,
+        dirichlet=dirichlet, heat_mask=heat, watcher_names=names,
+        watcher_nodes=widx, band_nodes=band_sel, band_bins=bins,
+        bin_counts=counts, bin_centers=centers, axis_nodes=axis_nodes,
+        axis_z=z[axis_nodes])
+
+
+def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
+                                  dtype=jnp.float64, rtol=1e-11,
+                                  maxiter=20000, record_gradient=True,
+                                  record_fields=False):
+    dev = problem.ell.device_put(dtype)
+    cols = dev["cols"]
+    nodes = problem.mesh.nodes
+    n = len(nodes)
+    dt = jnp.asarray(problem.dt, dtype)
+    ic = jnp.asarray(problem.ic_temp, dtype)
+    free = jnp.asarray(~problem.dirichlet, dtype)
+    dirich = jnp.asarray(problem.dirichlet, dtype)
+    heat_t = jnp.asarray(problem.heating.time, dtype)
+    heat_T = jnp.asarray(problem.heating.temp, dtype)
+    amp_offset = heat_T[0] - ic
+    r_sq = jnp.asarray(nodes[:, 1] ** 2, dtype)
+    heat_f = jnp.asarray(problem.heat_mask, dtype)
+
+    kp = jnp.asarray(problem.kappas, dtype)
+    rc = jnp.asarray(problem.rho_cvs, dtype)
+    A_vals, M_vals = ell_combine(dev["K"], dev["M"], kp, rc, dt)
+    diag = ell_diag(problem.ell.cols, A_vals)
+    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
+    apply_A = lambda v: ell_apply(cols, A_vals, v)
+    apply_s = lambda y: s * apply_A(s * y)
+
+    Mp_diag = ell_diag(problem.ell.cols, dev["Mp"])
+    s_mp = jax.lax.rsqrt(jnp.where(Mp_diag > 0, Mp_diag, 1.0))
+    apply_mp_s = lambda y: s_mp * ell_apply(cols, dev["Mp"], s_mp * y)
+
+    coeff = jnp.asarray(gaussian_coeff(problem.fwhm), dtype)
+    profile = jnp.exp(coeff * r_sq) * heat_f
+    n_bins = len(problem.bin_counts)
+
+    def simulate():
+        def bc_values(t):
+            amp = jnp.interp(t, heat_t, heat_T) - amp_offset
+            return ic * dirich + (amp - ic) * profile
+
+        def step(carry, t):
+            u_prev, gr_prev = carry
+            g = bc_values(t)
+            b = (ell_apply(cols, M_vals, u_prev) - apply_A(g)) * s
+            y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
+            sol = pcg(apply_s, b * free, y0, mask=free, rtol=rtol,
+                      maxiter=maxiter)
+            u = sol.x * s * free + g
+            outs = {"cg_iters": sol.iters}
+            if problem.watcher_nodes is not None:
+                outs["watch"] = u[jnp.asarray(problem.watcher_nodes)]
+            if record_gradient:
+                br = s_mp * ell_apply(cols, dev["G"], u)
+                gsol = pcg(apply_mp_s, br, gr_prev / s_mp, rtol=rtol,
+                           maxiter=400)
+                gr = gsol.x * s_mp
+                vals = gr[jnp.asarray(problem.band_nodes)]
+                sums = jax.ops.segment_sum(
+                    vals, jnp.asarray(problem.band_bins),
+                    num_segments=n_bins)
+                outs["band"] = sums / jnp.asarray(problem.bin_counts, dtype)
+                outs["axis"] = gr[jnp.asarray(problem.axis_nodes)]
+            else:
+                gr = gr_prev
+            if record_fields:
+                outs["field"] = u
+            return (u, gr), outs
+
+        u0 = jnp.full((n,), ic, dtype)
+        gr0 = jnp.zeros((n,), dtype)
+        ts = jnp.arange(1, problem.num_steps + 1, dtype=dtype) * dt
+        (u_fin, _), ys = jax.lax.scan(step, (u0, gr0), ts)
+        ys["times"] = ts
+        ys["final_u"] = u_fin
+        return ys
+
+    return simulate
