@@ -51,9 +51,9 @@ def bench_tpu(problem, *, rtol=1e-5, maxiter=3000):
     # the with_diamond reference loop does watcher sampling + XDMF only (no
     # gradient projection, ref run_with_diamond.py:469-504) — benchmark the
     # same per-step work
-    fn = jax.jit(make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
-                                  maxiter=maxiter, record_gradient=False,
-                                  record_fields=False))
+    fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
+                          maxiter=maxiter, record_gradient=False,
+                          record_fields=False)
     t0 = time.time()
     ys = fn()
     ys["final_u"].block_until_ready()

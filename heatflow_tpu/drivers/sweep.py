@@ -116,7 +116,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         heating = HeatingCurve.from_csv(cfg_w["heating"]["file"])
         wp = coupler_watcher_points(cfg_w)
         problem = build_problem(mesh, heating, cfg_w, watcher_points=wp)
-        sweep_fn = jax.jit(make_sweep_fn(problem, dtype=dtype))
+        sweep_fn = make_sweep_fn(problem, dtype=dtype)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])

@@ -109,11 +109,25 @@ class StencilPack:
              "M_proj": self.M_proj})
 
 
-def assemble_stencils(mesh: StructuredMesh) -> StencilPack:
-    """Assemble all geometric stencils for ``mesh`` (host-side, exact P1)."""
+def assemble_stencils(mesh: StructuredMesh, *, backend: str = "auto"
+                      ) -> StencilPack:
+    """Assemble all geometric stencils for ``mesh`` (host-side, exact P1).
+
+    backend: 'auto' tries the native C++ kernel (heatflow_tpu.native) and
+    falls back to vectorized numpy; 'numpy' forces the fallback.
+    """
     nz, nr = mesh.shape
     n_mats = len(mesh.material_tags)
     shape = (7, nz, nr)
+
+    if backend == "auto":
+        from heatflow_tpu.native import native_assemble_stencils
+        out = native_assemble_stencils(mesh.z, mesh.r, mesh.cell_tags,
+                                       n_mats)
+        if out is not None:
+            K, M, K_flat, M_flat, G_r, G_z = out
+            return StencilPack(K=K, M=M, K_flat=K_flat, M_flat=M_flat,
+                               G_r=G_r, G_z=G_z, M_proj=M.sum(axis=0))
 
     K = np.zeros((n_mats,) + shape)
     M = np.zeros((n_mats,) + shape)

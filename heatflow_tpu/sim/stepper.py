@@ -74,32 +74,36 @@ def make_simulate_fn(problem: Problem2D,
     has_radial = problem.radial is not None and record_gradient
     n_bins = len(problem.radial.bin_counts) if has_radial else 0
 
-    K, M = dev["K"], dev["M"]
-    G_r, M_proj = dev["G_r"], dev["M_proj"]
-    free = dev["free"]
-    dirich = dev["dirichlet"]
-    base = dev["heat_profile_base"]
-    r_sq = dev["r_sq"]
-    heat_t, heat_T = dev["heat_t"], dev["heat_T"]
-    amp_offset = heat_T[0] - ic  # ref run_no_diamond.py:299-301
-
-    # Symmetrically scaled mass solve for the gradient projection: operator
-    # entries span ~15 decades (r-weight × h² factors), so CG runs on
-    # D^{-1/2} A D^{-1/2} — unit diagonal, f32-safe.
-    s_mp = jax.lax.rsqrt(jnp.where(M_proj[0] > 0, M_proj[0], 1.0))
-    apply_Mp_s = lambda y: s_mp * apply_stencil(M_proj, s_mp * y)
-
-    mg_levels = None
+    mg_host = None
+    mg_shapes = None
     if precondition == "mg":
         from heatflow_tpu.ops.multigrid import build_hierarchy, device_levels
         hierarchy = build_hierarchy(problem.mesh, problem.dirichlet_mask,
                                     stencils=problem.stencils)
-        mg_levels = device_levels(hierarchy, dtype)
+        full = device_levels(hierarchy, dtype)
+        # grid shapes are static metadata — keep them OUT of the jit-argument
+        # pytree (they must not become tracers)
+        mg_shapes = [lv.pop("shape") for lv in full]
+        mg_host = full
 
-    def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None):
-        kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, dtype)
-        rc = dev["rho_cvs"] if rho_cvs is None else jnp.asarray(rho_cvs, dtype)
-        fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, dtype)
+    # NOTE: the large arrays (stencils, masks) enter the jitted core as
+    # ARGUMENTS, not closure constants — closed-over arrays get baked into
+    # the jaxpr and trigger minutes of XLA constant folding on big meshes.
+    def _core(dev, mg_levels, kp, rc, fw, u0):
+        K, M = dev["K"], dev["M"]
+        G_r, M_proj = dev["G_r"], dev["M_proj"]
+        free = dev["free"]
+        dirich = dev["dirichlet"]
+        base = dev["heat_profile_base"]
+        r_sq = dev["r_sq"]
+        heat_t, heat_T = dev["heat_t"], dev["heat_T"]
+        amp_offset = heat_T[0] - ic  # ref run_no_diamond.py:299-301
+
+        # Symmetrically scaled mass solve for the gradient projection:
+        # operator entries span ~15 decades (r-weight × h² factors), so CG
+        # runs on D^{-1/2} A D^{-1/2} — unit diagonal, f32-safe.
+        s_mp = jax.lax.rsqrt(jnp.where(M_proj[0] > 0, M_proj[0], 1.0))
+        apply_Mp_s = lambda y: s_mp * apply_stencil(M_proj, s_mp * y)
 
         A, M_op = combine_operator(K, M, kp, rc, dt)
         diag_a = A[..., 0, :, :]
@@ -113,9 +117,9 @@ def make_simulate_fn(problem: Problem2D,
         if mg_levels is not None:
             from heatflow_tpu.ops.multigrid import make_vcycle
             level_ops = []
-            for lv in mg_levels:
+            for lv, shp in zip(mg_levels, mg_shapes):
                 A_l, _ = combine_operator(lv["K"], lv["M"], kp, rc, dt)
-                level_ops.append({**lv, "A": A_l})
+                level_ops.append({**lv, "A": A_l, "shape": shp})
             vcycle = make_vcycle(level_ops)
             inv_s = 1.0 / jnp.where(s > 0, s, 1.0)
             # V-cycle approximates A⁻¹; conjugate it into the scaled system:
@@ -166,11 +170,6 @@ def make_simulate_fn(problem: Problem2D,
                 outs["field"] = u
             return (u, gr), outs
 
-        # initial condition: constant ic_temp, or a provided field (e.g. a
-        # steady-state solve used as the transient start, the with_ir_steady
-        # notebook workflow)
-        u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
-            else jnp.asarray(u0, dtype)
         gr0 = jnp.zeros((nz, nr), dtype)
         ts = (jnp.arange(1, num_steps + 1, dtype=dtype)) * dt
         (u_fin, _), ys = jax.lax.scan(step, (u0, gr0), ts)
@@ -178,6 +177,21 @@ def make_simulate_fn(problem: Problem2D,
         ys["times"] = ts
         return ys
 
+    jitted = jax.jit(_core)
+
+    def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None):
+        kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, dtype)
+        rc = dev["rho_cvs"] if rho_cvs is None else jnp.asarray(rho_cvs,
+                                                               dtype)
+        fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, dtype)
+        # initial condition: constant ic_temp, or a provided field (e.g. a
+        # steady-state solve used as the transient start, the with_ir_steady
+        # notebook workflow)
+        u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
+            else jnp.asarray(u0, dtype)
+        return jitted(dev, mg_host, kp, rc, fw, u0)
+
+    simulate.core = _core
     return simulate
 
 
@@ -217,11 +231,12 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   precondition: str = "jacobi",
                   kappas=None, rho_cvs=None, fwhm=None,
                   u0=None) -> TransientResult:
-    """Convenience wrapper: build, jit, run, and repatriate results."""
-    fn = jax.jit(make_simulate_fn(
+    """Convenience wrapper: build, run, and repatriate results (the simulate
+    fn returned by make_simulate_fn is internally jitted)."""
+    fn = make_simulate_fn(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
-        record_fields=record_fields, precondition=precondition))
+        record_fields=record_fields, precondition=precondition)
     ys = fn(kappas, rho_cvs, fwhm, u0)
     ys = jax.tree.map(np.asarray, ys)
 

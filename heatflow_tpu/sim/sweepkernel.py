@@ -47,48 +47,54 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
 
     A0, M_op = combine_operator(dev["K"], dev["M"], dev["kappas"],
                                 dev["rho_cvs"], dt)
-    K_var = dev["K"][m_idx]
-    free, dirich = dev["free"], dev["dirichlet"]
-    base = dev["heat_profile_base"]
-    r_sq = dev["r_sq"]
-    heat_t, heat_T = dev["heat_t"], dev["heat_T"]
-    amp_offset = heat_T[0] - ic
+    # Arrays enter the jitted core as ARGUMENTS (not closure constants) to
+    # avoid XLA constant-folding the whole operator at compile time.
+    ops = {"A0": A0, "M_op": M_op, "K_var": dev["K"][m_idx],
+           "free": dev["free"], "dirich": dev["dirichlet"],
+           "base": dev["heat_profile_base"], "r_sq": dev["r_sq"],
+           "heat_t": dev["heat_t"], "heat_T": dev["heat_T"],
+           "watch": dev["watch_flat"], "mg": None}
 
-    mg_levels = None
+    mg_shapes = None
     if precondition == "mg":
         from heatflow_tpu.ops.multigrid import build_hierarchy, device_levels
         hierarchy = build_hierarchy(problem.mesh, problem.dirichlet_mask,
                                     stencils=problem.stencils)
-        mg_levels = device_levels(hierarchy, dtype)
-        mg_base = []
-        for lv in mg_levels:
+        mg_base, mg_shapes = [], []
+        for lv in device_levels(hierarchy, dtype):
+            mg_shapes.append(lv.pop("shape"))  # static, stays out of jit args
             A_l, _ = combine_operator(lv["K"], lv["M"], dev["kappas"],
                                       dev["rho_cvs"], dt)
             mg_base.append({**lv, "A0": A_l})
+        ops["mg"] = mg_base
 
-    def one_config(sample_k, fwhm):
+    def one_config(ops, sample_k, fwhm):
+        free, dirich = ops["free"], ops["dirich"]
         dk = (jnp.asarray(sample_k, dtype) - base_k) * dt
-        apply_A = lambda v: apply_stencil(A0, v) + dk * apply_stencil(K_var, v)
-        diag = A0[0] + dk * K_var[0]
+        apply_A = lambda v: (apply_stencil(ops["A0"], v)
+                             + dk * apply_stencil(ops["K_var"], v))
+        diag = ops["A0"][0] + dk * ops["K_var"][0]
         s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
         apply_s = lambda y: s * apply_A(s * y)
 
         pre = None
-        if mg_levels is not None:
+        if ops["mg"] is not None:
             from heatflow_tpu.ops.multigrid import make_vcycle
-            level_ops = [{**lv, "A": lv["A0"] + dk * lv["K"][m_idx]}
-                         for lv in mg_base]
+            level_ops = [{**lv, "A": lv["A0"] + dk * lv["K"][m_idx],
+                          "shape": shp}
+                         for lv, shp in zip(ops["mg"], mg_shapes)]
             vcycle = make_vcycle(level_ops, nu_pre=1, nu_post=1)
             inv_s = 1.0 / jnp.where(s > 0, s, 1.0)
             pre = lambda r: inv_s * vcycle(inv_s * r)
 
+        amp_offset = ops["heat_T"][0] - ic
         coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fwhm * fwhm)
-        profile = jnp.exp(coeff * r_sq) * base
+        profile = jnp.exp(coeff * ops["r_sq"]) * ops["base"]
 
         def step(u_prev, t):
-            amp = jnp.interp(t, heat_t, heat_T) - amp_offset
+            amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
             g = ic * dirich + (amp - ic) * profile
-            b = (apply_stencil(M_op, u_prev) - apply_A(g)) * s * free
+            b = (apply_stencil(ops["M_op"], u_prev) - apply_A(g)) * s * free
             y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
             if fixed_iters is not None:
                 x = pcg_fixed(apply_s, b, y0, precond=pre, mask=free,
@@ -97,18 +103,21 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                 x = pcg_solve(apply_s, b, y0, precond=pre, mask=free,
                               rtol=rtol, maxiter=maxiter)
             u = x * s * free + g
-            return u, u.reshape(-1)[watch]
+            return u, u.reshape(-1)[ops["watch"]]
 
         u0 = jnp.full((nz, nr), ic, dtype)
         ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt
         _, traces = jax.lax.scan(step, u0, ts)
         return traces  # (S, W)
 
-    def simulate_batch(sample_k, fwhm):
-        return jax.vmap(one_config)(jnp.asarray(sample_k, dtype),
-                                    jnp.asarray(fwhm, dtype))
+    batched = jax.jit(lambda ops, ks, fs: jax.vmap(
+        lambda k, f: one_config(ops, k, f))(ks, fs))
 
-    simulate_batch.one_config = one_config
+    def simulate_batch(sample_k, fwhm):
+        return batched(ops, jnp.asarray(sample_k, dtype),
+                       jnp.asarray(fwhm, dtype))
+
+    simulate_batch.one_config = lambda k, f: one_config(ops, k, f)
     simulate_batch.times = (np.arange(1, num_steps + 1) * problem.dt)
     return simulate_batch
 

@@ -40,7 +40,7 @@ def sweep_problem():
 def test_batched_matches_individual_runs(sweep_problem):
     """The delta-operator sweep kernel must reproduce full per-config runs."""
     cfg, problem, _ = sweep_problem
-    fn = jax.jit(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-12))
+    fn = make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-12)
     ks = np.array([2.0, 3.8, 7.5])
     fs = np.array([4e-6, 6e-6, 9e-6])
     traces = np.asarray(fn(ks, fs))
