@@ -1,0 +1,170 @@
+"""Gradient-based experimental fitting — the capability the reference
+approximates with brute-force grid sweeps (ref sweep_test.py, the 51-point κ
+scan minimizing o-side RMSE).
+
+Because the whole transient solve is differentiable (implicit-diff CG,
+ops/cg.pcg_solve), the normalized o-side RMSE objective has exact gradients
+with respect to (κ_sample, FWHM). Strategy:
+
+  1. coarse *vmapped* sweep over the search box (global view, one jitted
+     batch);
+  2. Adam refinement in log-parameter space from the best starts, each step
+     costing two transient solves (forward + adjoint) — all starts advance
+     in parallel under vmap.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from heatflow_tpu.sim.problem import Problem2D
+from heatflow_tpu.sim.sweepkernel import make_sweep_fn, normalized_oside_rmse
+
+
+@dataclass
+class FitResult:
+    k: float
+    fwhm: float
+    rmse: float
+    history: list = field(default_factory=list)
+    sweep_k: np.ndarray | None = None
+    sweep_fwhm: np.ndarray | None = None
+    sweep_rmse: np.ndarray | None = None
+
+
+def experimental_objective(problem: Problem2D, *, dtype=jnp.float64,
+                           rtol: float = 1e-10, maxiter: int = 20000):
+    """Return objective(k, fwhm) -> normalized o-side RMSE vs the problem's
+    heating-curve 'oside' trace (the reference's fit metric,
+    ref no_diamond.py:65-99)."""
+    heating = problem.heating
+    if heating.oside is None:
+        raise ValueError("heating curve lacks an 'oside' column to fit")
+    fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter)
+    ic = problem.ic_temp
+    shifted = heating.oside - heating.oside[0] + ic
+    exp_normed = (shifted - shifted[0]) / (heating.temp.max()
+                                           - heating.temp.min())
+    times = jnp.asarray(fn.times, dtype)
+    exp_t = jnp.asarray(heating.time, dtype)
+    exp_o = jnp.asarray(exp_normed, dtype)
+
+    def objective(k, fwhm):
+        tr = fn.one_config(k, fwhm)
+        return normalized_oside_rmse(times, tr, exp_t, exp_o)
+
+    objective.batch = lambda ks, fs: normalized_oside_rmse(
+        times, fn(ks, fs), exp_t, exp_o)
+    return objective
+
+
+def fit_parameters(problem: Problem2D, *, k_range=(1.0, 100.0),
+                   fwhm_range=(1e-6, 1e-4), coarse=(8, 6), n_starts: int = 3,
+                   adam_steps: int = 60, lr: float = 0.05,
+                   dtype=jnp.float64, rtol: float = 1e-10,
+                   verbose: bool = False) -> FitResult:
+    """Coarse sweep + parallel Adam refinement in log space."""
+    obj = experimental_objective(problem, dtype=dtype, rtol=rtol)
+
+    ks = np.logspace(np.log10(k_range[0]), np.log10(k_range[1]), coarse[0])
+    fs = np.logspace(np.log10(fwhm_range[0]), np.log10(fwhm_range[1]),
+                     coarse[1])
+    KK, FF = np.meshgrid(ks, fs, indexing="ij")
+    flat_k, flat_f = KK.ravel(), FF.ravel()
+    sweep_rmse = np.asarray(obj.batch(jnp.asarray(flat_k),
+                                      jnp.asarray(flat_f)))
+    order = np.argsort(np.where(np.isfinite(sweep_rmse), sweep_rmse, np.inf))
+    starts = order[:n_starts]
+    if verbose:
+        print(f"coarse sweep best: rmse={sweep_rmse[starts[0]]:.5f} at "
+              f"k={flat_k[starts[0]]:.3f}, fwhm={flat_f[starts[0]]:.3e}")
+
+    log_k0 = jnp.log(jnp.asarray(flat_k[starts], dtype))
+    log_f0 = jnp.log(jnp.asarray(flat_f[starts], dtype))
+
+    lo_k, hi_k = np.log(k_range[0]), np.log(k_range[1])
+    lo_f, hi_f = np.log(fwhm_range[0]), np.log(fwhm_range[1])
+
+    def loss(params):
+        lk = jnp.clip(params[0], lo_k, hi_k)
+        lf = jnp.clip(params[1], lo_f, hi_f)
+        return obj(jnp.exp(lk), jnp.exp(lf))
+
+    opt = optax.adam(lr)
+    grad_fn = jax.value_and_grad(loss)
+
+    @jax.jit
+    def refine(params0):
+        state0 = opt.init(params0)
+
+        def body(carry, _):
+            params, state, best_p, best_v = carry
+            v, g = grad_fn(params)
+            updates, state = opt.update(g, state)
+            params = optax.apply_updates(params, updates)
+            better = v < best_v
+            best_p = jnp.where(better, carry[0], best_p)
+            best_v = jnp.where(better, v, best_v)
+            return (params, state, best_p, best_v), v
+
+        init = (params0, state0, params0, jnp.asarray(jnp.inf, dtype))
+        (params, _s, best_p, best_v), hist = jax.lax.scan(
+            body, init, None, length=adam_steps)
+        # evaluate the final iterate too
+        v_fin = loss(params)
+        better = v_fin < best_v
+        best_p = jnp.where(better, params, best_p)
+        best_v = jnp.where(better, v_fin, best_v)
+        return best_p, best_v, hist
+
+    params0 = jnp.stack([log_k0, log_f0], axis=1)  # (n_starts, 2)
+    best_p, best_v, hist = jax.vmap(refine)(params0)
+    best_p, best_v = np.asarray(best_p), np.asarray(best_v)
+    i = int(np.argmin(best_v))
+    k_best = float(np.exp(np.clip(best_p[i, 0], lo_k, hi_k)))
+    f_best = float(np.exp(np.clip(best_p[i, 1], lo_f, hi_f)))
+    return FitResult(k=k_best, fwhm=f_best, rmse=float(best_v[i]),
+                     history=np.asarray(hist).tolist(),
+                     sweep_k=flat_k, sweep_fwhm=flat_f,
+                     sweep_rmse=sweep_rmse)
+
+
+def main(argv=None):
+    from heatflow_tpu.config import load_config
+    from heatflow_tpu.drivers.run2d import _prepare_mesh, default_dtype
+    from heatflow_tpu.geometry import coupler_watcher_points
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+
+    p = argparse.ArgumentParser(
+        description="Gradient-based (k, FWHM) experimental fit")
+    p.add_argument("--config", required=True)
+    p.add_argument("--mesh-folder", required=True)
+    p.add_argument("--rebuild-mesh", action="store_true")
+    p.add_argument("--k-range", type=float, nargs=2, default=[1.0, 100.0])
+    p.add_argument("--fwhm-range", type=float, nargs=2,
+                   default=[1e-6, 1e-4])
+    p.add_argument("--adam-steps", type=int, default=60)
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config)
+    mesh = _prepare_mesh(cfg, args.mesh_folder, args.rebuild_mesh, "auto")
+    heating = HeatingCurve.from_csv(cfg["heating"]["file"])
+    problem = build_problem(mesh, heating, cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    res = fit_parameters(problem, k_range=tuple(args.k_range),
+                         fwhm_range=tuple(args.fwhm_range),
+                         adam_steps=args.adam_steps, dtype=default_dtype(),
+                         verbose=True)
+    print(f"BEST FIT: k = {res.k:.4f} W/m/K, FWHM = {res.fwhm:.4e} m, "
+          f"o-side RMSE = {res.rmse:.6f}")
+
+
+if __name__ == "__main__":
+    main()

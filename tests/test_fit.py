@@ -1,0 +1,61 @@
+"""Gradient-based fitting: recovers known parameters from a synthetic
+experimental trace."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heatflow_tpu.drivers.fit import experimental_objective, fit_parameters
+from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+from heatflow_tpu.mesh.structured import build_structured_mesh
+from heatflow_tpu.sim.bc import HeatingCurve
+from heatflow_tpu.sim.problem import build_problem
+from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
+
+K_TRUE = 5.2
+FWHM_TRUE = 6.5e-6
+
+
+@pytest.fixture(scope="module")
+def problem_with_target():
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["timing"]["num_steps"] = 5
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                           temp=df["temp"].to_numpy())
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    wp = coupler_watcher_points(cfg)
+    problem = build_problem(mesh, heating, cfg, watcher_points=wp)
+
+    # synthesize a perfectly-consistent experimental o-side from the model
+    # at the true parameters
+    fn = make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-12)
+    tr = np.asarray(fn.one_config(K_TRUE, FWHM_TRUE))
+    pside, oside = tr[:, 0], tr[:, 1]
+    span = pside.max() - pside.min()
+    normed = (oside - oside[0]) / span
+    ic = problem.ic_temp
+    exp_span = heating.temp.max() - heating.temp.min()
+    target = np.interp(heating.time, fn.times, normed)
+    heating_o = HeatingCurve(
+        time=heating.time, temp=heating.temp,
+        oside=ic + target * exp_span)
+    return build_problem(mesh, heating_o, cfg, watcher_points=wp)
+
+
+def test_objective_zero_at_truth(problem_with_target):
+    obj = experimental_objective(problem_with_target, rtol=1e-12)
+    v = float(obj(K_TRUE, FWHM_TRUE))
+    assert v < 1e-7
+    assert float(obj(2 * K_TRUE, FWHM_TRUE)) > 10 * max(v, 1e-9)
+
+
+def test_fit_recovers_parameters(problem_with_target):
+    res = fit_parameters(problem_with_target, k_range=(2.0, 15.0),
+                         fwhm_range=(3e-6, 1.3e-5), coarse=(5, 4),
+                         n_starts=2, adam_steps=40, lr=0.08, rtol=1e-11)
+    assert res.rmse < 5e-4
+    assert res.k == pytest.approx(K_TRUE, rel=0.1)
+    assert res.fwhm == pytest.approx(FWHM_TRUE, rel=0.15)
