@@ -60,11 +60,14 @@ def _cg_kernel(C_ref, b_ref, x0_ref, x_ref, *, iters: int):
     x = x0_ref[:]
     r = b - _apply7(C_ref, x)
     p = r
-    Ap = _apply7(C_ref, p)
     rz = jnp.sum(r * r)
 
     def body(_k, state):
-        x, r, p, Ap, rz = state
+        x, r, p, rz = state
+        # standard recurrence (recompute A p): the fused A p = A r + β A p_old
+        # variant drifts in f32 — compute is nearly free in VMEM, stability
+        # is not
+        Ap = _apply7(C_ref, p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
         x = x + alpha * p
@@ -72,12 +75,91 @@ def _cg_kernel(C_ref, b_ref, x0_ref, x_ref, *, iters: int):
         rz_new = jnp.sum(r * r)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = r + beta * p
-        # fused operator update: A p_new = A r + beta * A p_old
-        Ap = _apply7(C_ref, r) + beta * Ap
-        return (x, r, p, Ap, rz_new)
+        return (x, r, p, rz_new)
 
-    x, r, p, Ap, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, Ap, rz))
+    x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
     x_ref[:] = x
+
+
+def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, x_ref, it_ref, *,
+                   maxiter: int, rtol_wrt: str):
+    """Whole tolerance-based CG solve in one kernel (while_loop on-chip).
+
+    The operator is applied with ON-THE-FLY symmetric scaling,
+    sm * (A @ (sm * y)), using the ORIGINAL stencil coefficients: baking the
+    scaling into the coefficients (s_n A s_m rounded to f32) perturbs the
+    operator enough to bias far-field traces by ~1 K — measured, not
+    hypothetical. sm = rsqrt(diag) * free_mask, so constrained dofs are
+    annihilated (their x stays at x0 because b and r vanish there).
+    """
+    sm = sm_ref[:]
+    b = b_ref[:]
+    x = x0_ref[:]
+
+    def apply_op(y):
+        return sm * _apply7(A_ref, sm * y)
+
+    r = b - apply_op(x)
+    p = r
+    rz = jnp.sum(r * r)
+    rtol = rtol_ref[0, 0]
+    ref2 = rz if rtol_wrt == "r0" else jnp.sum(b * b)
+    stop2 = rtol * rtol * ref2
+
+    def cond(state):
+        _x, _r, _p, rz, k = state
+        return jnp.logical_and(k < maxiter, rz > stop2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = apply_op(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rz_new = jnp.sum(r * r)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = r + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, p, rz, k = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32)))
+    x_ref[:] = x
+    it_ref[0, 0] = k
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("maxiter", "rtol_wrt", "interpret"))
+def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
+                x0: jnp.ndarray, rtol: float | jnp.ndarray, *,
+                maxiter: int = 4000, rtol_wrt: str = "r0",
+                interpret: bool = False):
+    """Tolerance-based VMEM-resident CG on the scaled-masked operator
+    sm·A·sm. Returns (x, iters). b and x0 must vanish at constrained dofs;
+    sm = rsqrt(diag(A)) * free. ``interpret=True`` runs the Pallas
+    interpreter (CPU testing)."""
+    nz, nr = b.shape
+    rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
+    x, it = pl.pallas_call(
+        functools.partial(_cg_tol_kernel, maxiter=maxiter,
+                          rtol_wrt=rtol_wrt),
+        out_shape=(jax.ShapeDtypeStruct((nz, nr), b.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET),
+        cost_estimate=pl.CostEstimate(
+            flops=maxiter * 24 * nz * nr // 4,
+            bytes_accessed=(8 + 3) * nz * nr * 4, transcendentals=0),
+        interpret=interpret,
+    )(A, sm, b, x0, rtol_arr)
+    return x, it[0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -96,6 +178,8 @@ def cg_vmem(C: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=(7 + 3) * nz * nr * 4,
             transcendentals=0),

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from heatflow_tpu.ops.cg import jacobi_preconditioner, pcg, pcg_fixed
+from heatflow_tpu.ops.cg import CGResult, jacobi_preconditioner, pcg, pcg_fixed
 from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
 from heatflow_tpu.sim.problem import Problem2D
 
@@ -59,7 +59,8 @@ def make_simulate_fn(problem: Problem2D,
                      record_gradient: bool = True,
                      record_fields: bool = False,
                      precondition: str = "jacobi",
-                     rtol_wrt: str = "r0") -> Callable:
+                     rtol_wrt: str = "r0",
+                     solver: str = "xla") -> Callable:
     """Build a jittable simulate(kappas, rho_cvs, fwhm) -> dict of traces.
 
     All arguments default to the problem's own material values, so
@@ -74,6 +75,15 @@ def make_simulate_fn(problem: Problem2D,
     has_watch = "watch_flat" in dev
     has_radial = problem.radial is not None and record_gradient
     n_bins = len(problem.radial.bin_counts) if has_radial else 0
+
+    use_vmem = False
+    if solver in ("vmem", "auto"):
+        from heatflow_tpu.ops.pallas_cg import fits_in_vmem
+        use_vmem = fits_in_vmem(nz, nr, dtype)
+        if solver == "vmem" and not use_vmem:
+            raise ValueError(
+                f"problem ({nz}x{nr}, {dtype}) exceeds the VMEM budget; "
+                "use solver='xla'")
 
     mg_host = None
     mg_shapes = None
@@ -114,6 +124,8 @@ def make_simulate_fn(problem: Problem2D,
             + dirich
         apply_A_s = lambda y: s * apply_stencil(A, s * y)
 
+        sm_vmem = s * free if use_vmem else None
+
         pre = None
         if mg_levels is not None:
             from heatflow_tpu.ops.multigrid import make_vcycle
@@ -142,7 +154,14 @@ def make_simulate_fn(problem: Problem2D,
             b = apply_stencil(M_op, u_prev)
             b_lift = (b - apply_stencil(A, g)) * s
             y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
-            if fixed_iters is not None:
+            if use_vmem:
+                from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
+                x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0, rtol,
+                                       maxiter=maxiter, rtol_wrt=rtol_wrt)
+                sol = CGResult(x=x, iters=iters,
+                               residual=jnp.zeros((), dtype),
+                               converged=jnp.asarray(True))
+            elif fixed_iters is not None:
                 sol = pcg_fixed(apply_A_s, b_lift, y0, precond=pre,
                                 mask=free, iters=fixed_iters)
             else:
