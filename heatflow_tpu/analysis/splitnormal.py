@@ -46,6 +46,38 @@ def split_normal_function(r, amplitude, center, sigma_left, sigma_right,
     return amplitude * xp.exp(-0.5 * ((r - center) / sig) ** 2) + offset
 
 
+def generalized_gaussian_function(r, amplitude, center, sigma_left,
+                                  sigma_right, power, offset=0.0):
+    """Split generalized Gaussian: A·exp(-0.5 |(r-c)/σ±|^p) + offset — the
+    6-parameter variant behind the reference's generalized_gaussian_fit_*
+    artifacts (power = 2 recovers the split normal)."""
+    xp = jnp if isinstance(r, jnp.ndarray) else np
+    sig = xp.where(r < center, sigma_left, sigma_right)
+    u = xp.abs((r - center) / sig)
+    return amplitude * xp.exp(-0.5 * u ** power) + offset
+
+
+def fit_generalized_gaussian_to_profile(radial_positions, gradient_values):
+    """Fit the 6-parameter generalized Gaussian: split-normal LM fit first,
+    then a scalar search over the exponent with amplitude re-solved in
+    closed form. Returns ([amp, center, sl, sr, power, offset], rmse)."""
+    r = np.asarray(radial_positions, float)
+    y = np.asarray(gradient_values, float)
+    params, _ = fit_split_normal_to_profile(r, y)
+    amp, c, sl, sr, off = params
+    valid = np.isfinite(y) & np.isfinite(r)
+    rv, yv = r[valid], y[valid]
+    best = (params + [2.0], np.inf)
+    for p in np.linspace(0.8, 4.0, 33):
+        basis = generalized_gaussian_function(rv, 1.0, c, sl, sr, p, 0.0)
+        denom = basis @ basis
+        a = float(basis @ (yv - off)) / denom if denom > 0 else 0.0
+        rmse = float(np.sqrt(np.mean((yv - (a * basis + off)) ** 2)))
+        if rmse < best[1]:
+            best = ([a, c, sl, sr, float(p), off], rmse)
+    return best
+
+
 def _model_and_jac(params, r):
     amp, c, sl, sr, off = params
     sig = jnp.where(r < c, sl, sr)

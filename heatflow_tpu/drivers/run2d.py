@@ -93,7 +93,9 @@ def _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout):
 def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                    output_folder=None, watcher_points=None, write_xdmf=True,
                    suppress_print=False, *, layout="auto", dtype=None,
-                   rtol=None, maxiter=20000, record_gradient=True):
+                   rtol=None, maxiter=20000, record_gradient=True,
+                   solver="xla", profile_dir=None, resume_from=None,
+                   write_checkpoint=True):
     """Run the 2D transient simulation. See module docstring for outputs.
 
     watcher_points: dict name -> (z, r), or list of {'name','coords'} dicts
@@ -135,12 +137,22 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
         os.makedirs(save_folder, exist_ok=True)
         save_config(cfg, os.path.join(save_folder, "used_config.yaml"))
 
+        u0, t0 = None, 0.0
+        if resume_from is not None:
+            from heatflow_tpu.io.checkpoint import load_checkpoint
+            u0, t0, step0, _ = load_checkpoint(resume_from)
+            print(f"Resuming from checkpoint at t={t0:.4e} s"
+                  + (f" (step {step0})" if step0 is not None else ""))
+
         print("Beginning loop...")
         t_loop = time.time()
-        result = run_transient(problem, dtype=dtype, rtol=rtol,
-                               maxiter=maxiter,
-                               record_gradient=record_gradient,
-                               record_fields=write_xdmf)
+        from heatflow_tpu.utils import profile_trace
+        with profile_trace(profile_dir):
+            result = run_transient(problem, dtype=dtype, rtol=rtol,
+                                   maxiter=maxiter,
+                                   record_gradient=record_gradient,
+                                   record_fields=write_xdmf, solver=solver,
+                                   u0=u0, t0=t0)
         # scan results are already on host after run_transient
         t_end = time.time()
 
@@ -167,6 +179,12 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             for s, t in enumerate(result.times):
                 w.write(result.fields[s].ravel(), float(t))
             w.close()
+
+        if write_checkpoint:
+            from heatflow_tpu.io.checkpoint import save_checkpoint
+            save_checkpoint(save_folder, result.final_u,
+                            float(result.times[-1]),
+                            step=problem.num_steps)
 
         # ---------------- timing summary (ref :619-630) ----------------
         total = t_end - t_start
@@ -197,6 +215,13 @@ def main(argv=None):
     p.add_argument("--suppress-print", action="store_true")
     p.add_argument("--layout", choices=["auto", "no_diamond", "with_diamond"],
                    default="auto")
+    p.add_argument("--solver", choices=["xla", "vmem", "auto"],
+                   default="xla",
+                   help="'vmem'/'auto': VMEM-resident Pallas CG on TPU")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace into this directory")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint.npz (or its folder) to resume from")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -208,7 +233,9 @@ def main(argv=None):
         wp = None
     run_simulation(cfg, args.mesh_folder, args.rebuild_mesh,
                    args.visualize_mesh, args.output_folder, wp,
-                   args.write_xdmf, args.suppress_print, layout=args.layout)
+                   args.write_xdmf, args.suppress_print, layout=args.layout,
+                   solver=args.solver, profile_dir=args.profile_dir,
+                   resume_from=args.resume)
 
 
 if __name__ == "__main__":

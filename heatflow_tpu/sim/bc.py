@@ -156,3 +156,24 @@ class HeatingCurve:
 def gaussian_coeff(fwhm):
     """-4 ln2 / FWHM² (ref run_no_diamond.py:304)."""
     return -4.0 * np.log(2.0) / (fwhm ** 2)
+
+
+def describe_row_bcs(masks: dict[str, np.ndarray], nodes: np.ndarray, *,
+                     label: str = "Row BC") -> list[str]:
+    """Print coordinate bounds for each named BC mask — the debugging helper
+    of ref bc.py:152-174. ``masks``: name -> (N,) or (Nz, Nr) boolean;
+    ``nodes``: (N, 2) coordinates (or None entries are skipped)."""
+    lines = []
+    for k, (name, mask) in enumerate(masks.items()):
+        flat = np.asarray(mask).ravel()
+        sel = nodes[flat.astype(bool)]
+        if sel.size == 0:
+            line = f"{label} #{k} ({name}): no DOFs"
+        else:
+            line = (f"{label} #{k} ({name}): "
+                    f"x in [{sel[:, 0].min():.3e}, {sel[:, 0].max():.3e}]  "
+                    f"y in [{sel[:, 1].min():.3e}, {sel[:, 1].max():.3e}]  "
+                    f"(n = {len(sel)} DOFs)")
+        print(line)
+        lines.append(line)
+    return lines

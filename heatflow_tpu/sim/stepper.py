@@ -100,7 +100,7 @@ def make_simulate_fn(problem: Problem2D,
     # NOTE: the large arrays (stencils, masks) enter the jitted core as
     # ARGUMENTS, not closure constants — closed-over arrays get baked into
     # the jaxpr and trigger minutes of XLA constant folding on big meshes.
-    def _core(dev, mg_levels, kp, rc, fw, u0):
+    def _core(dev, mg_levels, kp, rc, fw, u0, t0):
         K, M = dev["K"], dev["M"]
         G_r, M_proj = dev["G_r"], dev["M_proj"]
         free = dev["free"]
@@ -191,7 +191,7 @@ def make_simulate_fn(problem: Problem2D,
             return (u, gr), outs
 
         gr0 = jnp.zeros((nz, nr), dtype)
-        ts = (jnp.arange(1, num_steps + 1, dtype=dtype)) * dt
+        ts = (jnp.arange(1, num_steps + 1, dtype=dtype)) * dt + t0
         (u_fin, _), ys = jax.lax.scan(step, (u0, gr0), ts)
         ys["final_u"] = u_fin
         ys["times"] = ts
@@ -199,17 +199,18 @@ def make_simulate_fn(problem: Problem2D,
 
     jitted = jax.jit(_core)
 
-    def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None):
+    def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None, t0=0.0):
         kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, dtype)
         rc = dev["rho_cvs"] if rho_cvs is None else jnp.asarray(rho_cvs,
                                                                dtype)
         fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, dtype)
         # initial condition: constant ic_temp, or a provided field (e.g. a
-        # steady-state solve used as the transient start, the with_ir_steady
-        # notebook workflow)
+        # steady-state solve as the transient start, or a checkpoint resume
+        # with the matching t0 offset)
         u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
             else jnp.asarray(u0, dtype)
-        return jitted(dev, mg_host, kp, rc, fw, u0)
+        return jitted(dev, mg_host, kp, rc, fw, u0,
+                      jnp.asarray(t0, dtype))
 
     simulate.core = _core
     return simulate
@@ -248,16 +249,17 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   fixed_iters: int | None = None,
                   record_gradient: bool = True,
                   record_fields: bool = False,
-                  precondition: str = "jacobi",
+                  precondition: str = "jacobi", solver: str = "xla",
                   kappas=None, rho_cvs=None, fwhm=None,
-                  u0=None) -> TransientResult:
+                  u0=None, t0: float = 0.0) -> TransientResult:
     """Convenience wrapper: build, run, and repatriate results (the simulate
     fn returned by make_simulate_fn is internally jitted)."""
     fn = make_simulate_fn(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
-        record_fields=record_fields, precondition=precondition)
-    ys = fn(kappas, rho_cvs, fwhm, u0)
+        record_fields=record_fields, precondition=precondition,
+        solver=solver)
+    ys = fn(kappas, rho_cvs, fwhm, u0, t0)
     ys = jax.tree.map(np.asarray, ys)
 
     rad = problem.radial if record_gradient else None

@@ -29,11 +29,17 @@ from heatflow_tpu.sim.problem import Problem2D
 def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                   dtype=jnp.float32, rtol: float = 1e-6,
                   maxiter: int = 4000, fixed_iters: int | None = None,
-                  precondition: str = "jacobi"):
+                  precondition: str = "jacobi",
+                  num_steps: int | None = None):
     """Build simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces
-    (B, S, W). vmappable/shardable along B; differentiable in both inputs."""
+    (B, S, W). vmappable/shardable along B; differentiable in both inputs.
+
+    ``simulate_batch.segment(ks, fs, u0, t0)`` additionally returns the final
+    fields, enabling time-chunked execution of very large batches (bounded
+    device-call durations) — set ``num_steps`` to the chunk length.
+    """
     dev = problem.device_arrays(dtype)
-    num_steps = int(problem.num_steps)
+    num_steps = int(problem.num_steps if num_steps is None else num_steps)
     dt = jnp.asarray(problem.dt, dtype)
     ic = jnp.asarray(problem.ic_temp, dtype)
     nz, nr = problem.mesh.shape
@@ -68,7 +74,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             mg_base.append({**lv, "A0": A_l})
         ops["mg"] = mg_base
 
-    def one_config(ops, sample_k, fwhm):
+    def one_config(ops, sample_k, fwhm, u0=None, t0=0.0):
         free, dirich = ops["free"], ops["dirich"]
         dk = (jnp.asarray(sample_k, dtype) - base_k) * dt
         apply_A = lambda v: (apply_stencil(ops["A0"], v)
@@ -105,21 +111,70 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             u = x * s * free + g
             return u, u.reshape(-1)[ops["watch"]]
 
-        u0 = jnp.full((nz, nr), ic, dtype)
-        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt
-        _, traces = jax.lax.scan(step, u0, ts)
-        return traces  # (S, W)
+        u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
+            else jnp.asarray(u0, dtype)
+        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt \
+            + jnp.asarray(t0, dtype)
+        u_fin, traces = jax.lax.scan(step, u0, ts)
+        return traces, u_fin
 
     batched = jax.jit(lambda ops, ks, fs: jax.vmap(
-        lambda k, f: one_config(ops, k, f))(ks, fs))
+        lambda k, f: one_config(ops, k, f)[0])(ks, fs))
+    batched_seg = jax.jit(lambda ops, ks, fs, u0, t0: jax.vmap(
+        lambda k, f, u: one_config(ops, k, f, u, t0))(ks, fs, u0))
 
     def simulate_batch(sample_k, fwhm):
         return batched(ops, jnp.asarray(sample_k, dtype),
                        jnp.asarray(fwhm, dtype))
 
-    simulate_batch.one_config = lambda k, f: one_config(ops, k, f)
+    def segment(sample_k, fwhm, u0, t0):
+        """(traces (B, S, W), u_fin (B, Nz, Nr)) for one time chunk."""
+        return batched_seg(ops, jnp.asarray(sample_k, dtype),
+                           jnp.asarray(fwhm, dtype),
+                           jnp.asarray(u0, dtype),
+                           jnp.asarray(t0, dtype))
+
+    simulate_batch.segment = segment
+    simulate_batch.one_config = lambda k, f: one_config(ops, k, f)[0]
+    simulate_batch.shape = (nz, nr)
+    simulate_batch.ic_temp = float(problem.ic_temp)
+    simulate_batch.dt = float(problem.dt)
     simulate_batch.times = (np.arange(1, num_steps + 1) * problem.dt)
     return simulate_batch
+
+
+def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
+                           step_chunk: int = 10, dtype=jnp.float32,
+                           fixed_iters: int | None = None,
+                           rtol: float = 1e-5, maxiter: int = 4000,
+                           precondition: str = "jacobi",
+                           verbose: bool = False):
+    """Run the full transient for a (possibly very large) batch with bounded
+    device-call durations: the whole batch stays resident while time is
+    integrated chunk by chunk. Returns traces (B, num_steps, W)."""
+    total = int(problem.num_steps)
+    fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
+                       rtol=rtol, maxiter=maxiter, precondition=precondition,
+                       num_steps=min(step_chunk, total))
+    B = len(np.asarray(sample_k))
+    nz, nr = fn.shape
+    u = jnp.full((B, nz, nr), fn.ic_temp, dtype)
+    pieces = []
+    done = 0
+    while done < total:
+        n = min(step_chunk, total - done)
+        if n != min(step_chunk, total):  # final ragged chunk
+            fn = make_sweep_fn(problem, dtype=dtype,
+                               fixed_iters=fixed_iters, rtol=rtol,
+                               maxiter=maxiter, precondition=precondition,
+                               num_steps=n)
+        tr, u = fn.segment(sample_k, fwhm, u, done * problem.dt)
+        tr.block_until_ready()
+        pieces.append(np.asarray(tr))
+        done += n
+        if verbose:
+            print(f"  time chunk done: {done}/{total} steps")
+    return np.concatenate(pieces, axis=1)
 
 
 def normalized_oside_rmse(times, traces, exp_time, exp_oside_normed,
