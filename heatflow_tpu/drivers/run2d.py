@@ -84,9 +84,13 @@ def _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout):
     with open(mesh_cfg_path) as f:
         mesh_cfg = yaml.safe_load(f)
     if "structured_grid" not in mesh_cfg:
-        raise ValueError(
-            f"{mesh_cfg_path} lacks 'structured_grid' metadata; rebuild the "
-            "mesh or import the .msh via heatflow_tpu.mesh.msh_io")
+        # externally produced mesh (e.g. the reference's gmsh output):
+        # import and run through the unstructured ELL path
+        from heatflow_tpu.mesh.msh_io import read_msh
+        umesh = read_msh(mesh_file_path)
+        if not umesh.material_tags:
+            umesh.material_tags = dict(mesh_cfg.get("material_tags", {}))
+        return umesh
     return mesh_from_meta(mesh_cfg["structured_grid"], materials=mats)
 
 
@@ -109,6 +113,12 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             rtol = 1e-11 if dtype == jnp.float64 else 1e-6
 
         mesh = _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout)
+        from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+        if isinstance(mesh, UnstructuredMesh):
+            return _run_unstructured(cfg, mesh, output_folder,
+                                     watcher_points, write_xdmf,
+                                     dtype=dtype, rtol=rtol, maxiter=maxiter,
+                                     record_gradient=record_gradient)
         print(f"Mesh ready: {mesh.shape[0]} x {mesh.shape[1]} grid = "
               f"{mesh.num_nodes} nodes, {2 * mesh.num_cells} triangles")
         if visualize_mesh:
@@ -199,6 +209,58 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
               f"max {result.cg_iters.max()} mean {result.cg_iters.mean():.1f}")
         print("----------------------\n")
         return result
+
+
+def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
+                      *, dtype, rtol, maxiter, record_gradient):
+    """Transient run on an imported gmsh mesh via the ELL operator path,
+    producing the same artifact set as the structured driver."""
+    import jax as _jax
+    from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
+                                               make_simulate_fn_unstructured)
+
+    print(f"Imported unstructured mesh: {len(umesh.nodes)} nodes, "
+          f"{len(umesh.cells)} triangles (ELL operator path)")
+    heating = HeatingCurve.from_csv(cfg["heating"]["file"])
+    if isinstance(watcher_points, list):
+        watcher_points = {pt["name"]: tuple(pt["coords"])
+                          for pt in watcher_points}
+    problem = build_problem_unstructured(umesh, heating, cfg,
+                                         watcher_points=watcher_points)
+    if rtol is None:
+        rtol = 1e-11 if dtype == jnp.float64 else 1e-4
+    fn = jax.jit(make_simulate_fn_unstructured(
+        problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
+        record_gradient=record_gradient, record_fields=write_xdmf))
+    t_loop = time.time()
+    ys = _jax.tree.map(np.asarray, fn())
+    loop = time.time() - t_loop
+
+    save_folder = output_folder or os.path.join(os.getcwd(), "sim_outputs",
+                                                "unstructured_run")
+    os.makedirs(save_folder, exist_ok=True)
+    save_config(cfg, os.path.join(save_folder, "used_config.yaml"))
+    if watcher_points:
+        write_watcher_csv(os.path.join(save_folder, "watcher_points.csv"),
+                          ys["times"],
+                          {n: ys["watch"][:, k]
+                           for k, n in enumerate(problem.watcher_names)})
+    if record_gradient and "band" in ys:
+        write_gradient_csv(os.path.join(save_folder, "radial_gradient.csv"),
+                           ys["times"], problem.bin_centers, ys["band"])
+        write_gradient_csv(
+            os.path.join(save_folder, "radial_gradient_raw.csv"),
+            ys["times"], problem.axis_z, ys["axis"])
+    if write_xdmf:
+        w = XDMFTimeSeriesWriter(os.path.join(save_folder, "output.xdmf"),
+                                 umesh.nodes, umesh.cells)
+        w.write(np.full(len(umesh.nodes), problem.ic_temp), 0.0)
+        for s, t in enumerate(ys["times"]):
+            w.write(ys["field"][s], float(t))
+        w.close()
+    print(f"Loop time: {loop:.2f} s (includes jit compile); "
+          f"CG iters mean {np.asarray(ys['cg_iters']).mean():.1f}")
+    return ys
 
 
 def main(argv=None):
