@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from heatflow_tpu.io.csvio import read_gradient_csv
 
 

@@ -20,7 +20,6 @@ import argparse
 import contextlib
 import copy
 import os
-import sys
 import time
 
 import jax

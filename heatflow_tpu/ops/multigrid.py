@@ -79,7 +79,6 @@ def build_hierarchy(mesh: StructuredMesh, dirichlet: np.ndarray,
             break
         iz = _coarsen_indices(nz)
         ir = _coarsen_indices(nr)
-        from heatflow_tpu.mesh.structured import build_structured_mesh
         cmesh = StructuredMesh(
             z=fine.mesh.z[iz], r=fine.mesh.r[ir],
             cell_tags=_coarse_tags(fine.mesh, iz, ir),

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from heatflow_tpu.ops.cg import CGResult, jacobi_preconditioner, pcg, pcg_fixed
+from heatflow_tpu.ops.cg import CGResult, pcg, pcg_fixed
 from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
 from heatflow_tpu.sim.problem import Problem2D
 
