@@ -87,6 +87,32 @@ class Problem2D:
         return out
 
 
+def initial_condition(mesh: StructuredMesh, init) -> np.ndarray:
+    """Build a (Nz, Nr) initial temperature field from a scalar, a callable
+    f(z, r) (vectorized or scalar), or an array — the input forms of the
+    reference's Space.initial_condition (ref space_and_forms.py:231-266)."""
+    nz, nr = mesh.shape
+    if np.isscalar(init):
+        return np.full((nz, nr), float(init))
+    if callable(init):
+        zz, rr = np.meshgrid(mesh.z, mesh.r, indexing="ij")
+        try:
+            out = np.asarray(init(zz, rr), dtype=float)
+            if out.shape != (nz, nr):
+                raise ValueError
+            return out
+        except Exception:
+            out = np.empty((nz, nr))
+            for i, z in enumerate(mesh.z):
+                for j, r in enumerate(mesh.r):
+                    out[i, j] = init(z, r)
+            return out
+    arr = np.asarray(init, dtype=float)
+    if arr.size != nz * nr:
+        raise ValueError("array length does not match the number of DOFs")
+    return arr.reshape(nz, nr)
+
+
 def _radial_sampling(mesh: StructuredMesh) -> RadialSampling:
     z, r = mesh.z, mesh.r
     nr = len(r)
