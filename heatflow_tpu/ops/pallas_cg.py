@@ -36,21 +36,22 @@ def fits_in_vmem(nz: int, nr: int, dtype=jnp.float32) -> bool:
     return working_set < VMEM_BUDGET
 
 
-def _shift_val(u, di, dj):
-    """result[i,j] = u[i+di, j+dj] with zero padding (on values, in-kernel)."""
+def _apply7(C_ref, u):
+    """7-point stencil apply on values, in-kernel: pad the operand once,
+    then take static shifted slices."""
     nz, nr = u.shape
     up = jnp.pad(u, ((1, 1), (1, 1)))
-    return jax.lax.slice(up, (1 + di, 1 + dj), (1 + di + nz, 1 + dj + nr))
 
+    def sh(di, dj):
+        return jax.lax.slice(up, (1 + di, 1 + dj), (1 + di + nz, 1 + dj + nr))
 
-def _apply7(C_ref, u):
     out = C_ref[0] * u
-    out += C_ref[1] * _shift_val(u, 1, 0)
-    out += C_ref[2] * _shift_val(u, -1, 0)
-    out += C_ref[3] * _shift_val(u, 0, 1)
-    out += C_ref[4] * _shift_val(u, 0, -1)
-    out += C_ref[5] * _shift_val(u, 1, 1)
-    out += C_ref[6] * _shift_val(u, -1, -1)
+    out += C_ref[1] * sh(1, 0)
+    out += C_ref[2] * sh(-1, 0)
+    out += C_ref[3] * sh(0, 1)
+    out += C_ref[4] * sh(0, -1)
+    out += C_ref[5] * sh(1, 1)
+    out += C_ref[6] * sh(-1, -1)
     return out
 
 
@@ -78,6 +79,10 @@ def _cg_kernel(C_ref, b_ref, x0_ref, x_ref, *, iters: int):
 
     x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
     x_ref[:] = x
+
+
+CHECK_EVERY = 8  # CG iterations per convergence check (amortizes the
+                 # while_loop's per-trip synchronization)
 
 
 def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, x_ref, it_ref, *,
@@ -109,8 +114,8 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, x_ref, it_ref, *,
         _x, _r, _p, rz, k = state
         return jnp.logical_and(k < maxiter, rz > stop2)
 
-    def body(state):
-        x, r, p, rz, k = state
+    def one_iter(_i, state):
+        x, r, p, rz = state
         Ap = apply_op(p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
@@ -119,7 +124,15 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, x_ref, it_ref, *,
         rz_new = jnp.sum(r * r)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = r + beta * p
-        return (x, r, p, rz_new, k + 1)
+        return (x, r, p, rz_new)
+
+    def body(state):
+        x, r, p, rz, k = state
+        # run a block of iterations between convergence checks (the extra
+        # iterations past the tolerance are free accuracy)
+        x, r, p, rz = jax.lax.fori_loop(0, CHECK_EVERY, one_iter,
+                                        (x, r, p, rz))
+        return (x, r, p, rz, k + CHECK_EVERY)
 
     x, r, p, rz, k = jax.lax.while_loop(
         cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32)))
