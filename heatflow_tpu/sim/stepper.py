@@ -102,7 +102,7 @@ def make_simulate_fn(problem: Problem2D,
     # NOTE: the large arrays (stencils, masks) enter the jitted core as
     # ARGUMENTS, not closure constants — closed-over arrays get baked into
     # the jaxpr and trigger minutes of XLA constant folding on big meshes.
-    def _core(dev, mg_levels, kp, rc, fw, u0, t0):
+    def _core(dev, mg_levels, kp, rc, fw, u0, t0, source):
         K, M = dev["K"], dev["M"]
         G_r, M_proj = dev["G_r"], dev["M_proj"]
         free = dev["free"]
@@ -150,10 +150,16 @@ def make_simulate_fn(problem: Problem2D,
             # ic on fixed edges (ref run_no_diamond.py:303-309)
             return ic * dirich + (amp - ic) * profile
 
+        # volumetric source: rhs += dt ∫ f φ r dx = dt (M_proj @ f)
+        # (the reference's `dt f v r dx` term, ref run_no_diamond.py:284,
+        # with f a nodal field instead of the constant 0)
+        b_src = 0.0 if source is None \
+            else dt * apply_stencil(M_proj, source)
+
         def step(carry, t):
             u_prev, gr_prev = carry
             g = bc_values(t)
-            b = apply_stencil(M_op, u_prev)
+            b = apply_stencil(M_op, u_prev) + b_src
             b_lift = (b - apply_stencil(A, g)) * s
             y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
             if use_vmem:
@@ -201,7 +207,8 @@ def make_simulate_fn(problem: Problem2D,
 
     jitted = jax.jit(_core)
 
-    def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None, t0=0.0):
+    def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None, t0=0.0,
+                 source=None):
         kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, dtype)
         rc = dev["rho_cvs"] if rho_cvs is None else jnp.asarray(rho_cvs,
                                                                dtype)
@@ -211,8 +218,9 @@ def make_simulate_fn(problem: Problem2D,
         # with the matching t0 offset)
         u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
             else jnp.asarray(u0, dtype)
+        src = None if source is None else jnp.asarray(source, dtype)
         return jitted(dev, mg_host, kp, rc, fw, u0,
-                      jnp.asarray(t0, dtype))
+                      jnp.asarray(t0, dtype), src)
 
     simulate.core = _core
     return simulate
@@ -253,7 +261,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   record_fields: bool = False,
                   precondition: str = "jacobi", solver: str = "xla",
                   kappas=None, rho_cvs=None, fwhm=None,
-                  u0=None, t0: float = 0.0) -> TransientResult:
+                  u0=None, t0: float = 0.0, source=None) -> TransientResult:
     """Convenience wrapper: build, run, and repatriate results (the simulate
     fn returned by make_simulate_fn is internally jitted)."""
     fn = make_simulate_fn(
@@ -261,7 +269,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
         record_fields=record_fields, precondition=precondition,
         solver=solver)
-    ys = fn(kappas, rho_cvs, fwhm, u0, t0)
+    ys = fn(kappas, rho_cvs, fwhm, u0, t0, source)
     ys = jax.tree.map(np.asarray, ys)
 
     rad = problem.radial if record_gradient else None
