@@ -60,6 +60,11 @@ def run_1d(cfg, mesh_folder_2d, mesh_folder_1d=None, rebuild_mesh=False,
         del mesh_folder_1d  # the 1D mesh is derived, nothing extra persisted
 
         mesh2d = _prepare_mesh(cfg, mesh_folder_2d, rebuild_mesh, layout)
+        from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+        if isinstance(mesh2d, UnstructuredMesh):
+            raise ValueError(
+                "run_1d requires a structured 2D mesh (imported gmsh meshes "
+                "are supported by run2d only); rebuild with --rebuild-mesh")
         z, tags1d = extract_axis_submesh(mesh2d)
         print(f"Extracted 1D axis submesh: {len(z)} nodes, "
               f"{len(tags1d)} cells, z-range [{z.min():.6e}, {z.max():.6e}]")

@@ -138,6 +138,14 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
         problem = build_problem(mesh, heating, cfg,
                                 watcher_points=watcher_points)
         print("Material properties assigned.")
+        if record_gradient:
+            from heatflow_tpu.sim.problem import radial_band_analysis
+            band = radial_band_analysis(mesh)
+            print(f"--- Radial Band Analysis ---\n"
+                  f"  Nodes in band: {band['n_band_nodes']}, "
+                  f"β = {band.get('beta', float('nan')):.4f} "
+                  f"({band['verdict']})\n"
+                  f"----------------------------")
 
         # output folder layout (ref run_no_diamond.py:348-362)
         if output_folder is not None:

@@ -28,6 +28,10 @@ def run_steady(cfg, mesh_folder, *, rebuild_mesh=False, output_folder=None,
     seeded by the steady field. Returns (u_steady, info[, transient])."""
     dtype = dtype or default_dtype()
     mesh = _prepare_mesh(cfg, mesh_folder, rebuild_mesh, "auto")
+    from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+    if isinstance(mesh, UnstructuredMesh):
+        raise ValueError("run_steady requires a structured mesh; rebuild "
+                         "with rebuild_mesh=True")
     heating = HeatingCurve.from_csv(cfg["heating"]["file"])
     problem = build_problem(mesh, heating, cfg,
                             watcher_points=watcher_points)

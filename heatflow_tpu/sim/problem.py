@@ -140,6 +140,29 @@ def _radial_sampling(mesh: StructuredMesh) -> RadialSampling:
                           axis_z=z.copy())
 
 
+def radial_band_analysis(mesh: StructuredMesh, band_width: float = 0.1e-6
+                         ) -> dict:
+    """The reference's β-clustering diagnostic of the radial sampling band
+    (ref run_no_diamond.py:409-432): β = mean r of band nodes / band width.
+    β≈1 ⇒ nodes clustered at the outer edge; β≈0.5 ⇒ uniform."""
+    r = mesh.r
+    band_j = np.where((r > 0.0) & (r <= band_width))[0]
+    n_nodes = len(band_j) * len(mesh.z)
+    if len(band_j) == 0:
+        return {"n_band_nodes": 0, "band_width": band_width, "beta": np.nan,
+                "verdict": "no nodes in band"}
+    mean_r = float(r[band_j].mean())
+    beta = mean_r / band_width
+    if beta > 0.95:
+        verdict = "clustered near the outer edge (β ≈ 1)"
+    elif 0.45 < beta < 0.55:
+        verdict = "uniformly distributed (β ≈ 0.5)"
+    else:
+        verdict = "neither fully clustered nor uniform"
+    return {"n_band_nodes": n_nodes, "band_width": band_width,
+            "mean_r": mean_r, "beta": beta, "verdict": verdict}
+
+
 def build_problem(mesh: StructuredMesh,
                   heating: HeatingCurve,
                   cfg: dict,

@@ -84,8 +84,9 @@ def make_simulate_fn(problem: Problem2D,
             raise ValueError(
                 f"problem ({nz}x{nr}, {dtype}) exceeds the VMEM budget; "
                 "use solver='xla'")
-        if solver == "auto" and jax.default_backend() != "tpu":
-            use_vmem = False  # the Pallas kernel is TPU-only
+        if solver == "auto" and (jax.default_backend() != "tpu"
+                                 or dtype != jnp.float32):
+            use_vmem = False  # the Pallas kernel is TPU-only, f32-only
 
     mg_host = None
     mg_shapes = None
