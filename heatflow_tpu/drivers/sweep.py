@@ -121,7 +121,9 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])
         B = len(group)
-        chunk = batch_size or B
+        # default chunking keeps single device calls bounded (some TPU
+        # attachment paths abort calls running longer than ~a minute)
+        chunk = batch_size or min(B, 64)
         t_group = time.time()
         traces = []
         for s in range(0, B, chunk):
