@@ -24,6 +24,18 @@ sys.path.insert(0, ROOT)
 CACHE = os.path.join(ROOT, ".bench_baseline_cache.json")
 
 
+def _enable_compilation_cache():
+    """Persist compiled executables across bench invocations (first flagship
+    compile is minutes through this environment's remote-compile path)."""
+    try:
+        import jax
+        cache_dir = os.path.join(ROOT, ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+
+
 def build_flagship():
     import jax.numpy as jnp
     from heatflow_tpu.config import load_config
@@ -138,6 +150,7 @@ def bench_baseline(problem):
 
 
 def main():
+    _enable_compilation_cache()
     problem = build_flagship()
     tpu = bench_tpu(problem)
     base = bench_baseline(problem)
