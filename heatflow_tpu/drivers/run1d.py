@@ -28,30 +28,44 @@ from heatflow_tpu.sim.reduced1d import (GradientTable, build_problem_1d,
                                         make_simulate_fn_1d)
 
 
-def _find_gradient_csv(mesh_folder_2d: str) -> str | None:
+def _find_gradient_csv(mesh_folder_2d: str,
+                       config_name: str | None = None) -> str | None:
     """Auto-search candidate output dirs for a gradient CSV (smoothed first),
-    ref run_no_diamond_1d.py:322-342."""
-    candidates = [
-        os.path.join(mesh_folder_2d, "..", "outputs",
-                     "geballe_no_diamond_read_flux"),
-        os.path.join(mesh_folder_2d, "..", "..", "outputs",
-                     "geballe_no_diamond_read_flux"),
-        os.path.join(os.getcwd(), "outputs", "geballe_no_diamond_read_flux"),
-        os.path.join(os.getcwd(), "sim_outputs",
-                     "geballe_no_diamond_read_flux"),
+    ref run_no_diamond_1d.py:322-342.
+
+    Candidate run-dir names are derived from the config (``config_name``,
+    typically the config file stem) first, then the reference's canonical
+    workflow name, then any run directory under the output bases that holds
+    a gradient CSV — so the correction auto-finds gradients for any config.
+    """
+    bases = [
+        os.path.join(mesh_folder_2d, "..", "outputs"),
+        os.path.join(mesh_folder_2d, "..", "..", "outputs"),
+        os.path.join(os.getcwd(), "outputs"),
+        os.path.join(os.getcwd(), "sim_outputs"),
     ]
-    for name in ("radial_gradient.csv", "radial_gradient_raw.csv"):
-        for d in candidates:
-            p = os.path.join(d, name)
-            if os.path.exists(p):
-                return p
+    names = [config_name] if config_name else []
+    names.append("geballe_no_diamond_read_flux")  # ref hardcoded default
+    for fname in ("radial_gradient.csv", "radial_gradient_raw.csv"):
+        for base in bases:
+            for nm in names:
+                p = os.path.join(base, nm, fname)
+                if os.path.exists(p):
+                    return p
+        for base in bases:  # fallback: any run dir with a gradient CSV
+            if os.path.isdir(base):
+                for sub in sorted(os.listdir(base)):
+                    p = os.path.join(base, sub, fname)
+                    if os.path.exists(p):
+                        return p
     return None
 
 
 def run_1d(cfg, mesh_folder_2d, mesh_folder_1d=None, rebuild_mesh=False,
            visualize_mesh=False, output_folder=None, watcher_points=None,
            write_xdmf=True, suppress_print=False, use_radial_correction=True,
-           radial_gradient_path=None, *, layout="auto", dtype=None):
+           radial_gradient_path=None, *, layout="auto", dtype=None,
+           config_name=None):
     """Run the 1D reduced simulation. Parameter surface mirrors the
     reference's run_1d (ref run_no_diamond_1d.py:166-192)."""
     with suppress_output(suppress_print):
@@ -76,7 +90,8 @@ def run_1d(cfg, mesh_folder_2d, mesh_folder_1d=None, rebuild_mesh=False,
 
         gradient = None
         if use_radial_correction:
-            path = radial_gradient_path or _find_gradient_csv(mesh_folder_2d)
+            path = radial_gradient_path or _find_gradient_csv(
+                mesh_folder_2d, config_name=config_name)
             if path is None:
                 print("Warning: Could not find radial gradient file. "
                       "Disabling radial heating correction.")
@@ -166,7 +181,8 @@ def main(argv=None):
            output_folder=args.output_folder, watcher_points=wp,
            write_xdmf=args.write_xdmf,
            use_radial_correction=not args.no_radial_correction,
-           radial_gradient_path=args.radial_gradient_path)
+           radial_gradient_path=args.radial_gradient_path,
+           config_name=os.path.splitext(os.path.basename(args.config))[0])
 
 
 if __name__ == "__main__":

@@ -114,6 +114,11 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             rtol = 1e-11 if dtype == jnp.float64 else 1e-4
 
         mesh = _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout)
+        if visualize_mesh:
+            from heatflow_tpu.mesh.viz import plot_mesh
+            png = os.path.join(mesh_folder, "mesh_visualization.png")
+            plot_mesh(mesh, png)
+            print(f"Mesh visualization written to {png}")
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
         if isinstance(mesh, UnstructuredMesh):
             return _run_unstructured(cfg, mesh, output_folder,
@@ -122,9 +127,6 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                                      record_gradient=record_gradient)
         print(f"Mesh ready: {mesh.shape[0]} x {mesh.shape[1]} grid = "
               f"{mesh.num_nodes} nodes, {2 * mesh.num_cells} triangles")
-        if visualize_mesh:
-            print("(mesh visualization: open the mesh.msh in gmsh, or plot "
-                  "mesh.z/mesh.r grid lines)")
 
         heating = HeatingCurve.from_csv(cfg["heating"]["file"])
 

@@ -153,24 +153,24 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     device-call durations: the whole batch stays resident while time is
     integrated chunk by chunk. Returns traces (B, num_steps, W)."""
     total = int(problem.num_steps)
+    chunk_len = min(step_chunk, total)
     fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
                        rtol=rtol, maxiter=maxiter, precondition=precondition,
-                       num_steps=min(step_chunk, total))
+                       num_steps=chunk_len)
     B = len(np.asarray(sample_k))
     nz, nr = fn.shape
     u = jnp.full((B, nz, nr), fn.ic_temp, dtype)
     pieces = []
     done = 0
     while done < total:
-        n = min(step_chunk, total - done)
-        if n != min(step_chunk, total):  # final ragged chunk
-            fn = make_sweep_fn(problem, dtype=dtype,
-                               fixed_iters=fixed_iters, rtol=rtol,
-                               maxiter=maxiter, precondition=precondition,
-                               num_steps=n)
+        n = min(chunk_len, total - done)
+        # A ragged final chunk runs the same compiled full-length segment and
+        # keeps only its first n steps (the discarded steps integrate past
+        # t_final, where the heating interp clamps) — exactly one compile per
+        # sweep shape instead of a recompile for the tail.
         tr, u = fn.segment(sample_k, fwhm, u, done * problem.dt)
         tr.block_until_ready()
-        pieces.append(np.asarray(tr))
+        pieces.append(np.asarray(tr)[:, :n])
         done += n
         if verbose:
             print(f"  time chunk done: {done}/{total} steps")
