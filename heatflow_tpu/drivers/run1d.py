@@ -76,10 +76,14 @@ def run_1d(cfg, mesh_folder_2d, mesh_folder_1d=None, rebuild_mesh=False,
         mesh2d = _prepare_mesh(cfg, mesh_folder_2d, rebuild_mesh, layout)
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
         if isinstance(mesh2d, UnstructuredMesh):
-            raise ValueError(
-                "run_1d requires a structured 2D mesh (imported gmsh meshes "
-                "are supported by run2d only); rebuild with --rebuild-mesh")
-        z, tags1d = extract_axis_submesh(mesh2d)
+            # imported gmsh mesh: facet-scan axis extraction
+            # (ref run_no_diamond_1d.py:30-164)
+            from heatflow_tpu.sim.reduced1d import \
+                extract_axis_submesh_unstructured
+            z, tags1d = extract_axis_submesh_unstructured(mesh2d)
+            print(f"Found {len(tags1d)} facets on the r=0 axis")
+        else:
+            z, tags1d = extract_axis_submesh(mesh2d)
         print(f"Extracted 1D axis submesh: {len(z)} nodes, "
               f"{len(tags1d)} cells, z-range [{z.min():.6e}, {z.max():.6e}]")
         uniq, counts = np.unique(tags1d, return_counts=True)

@@ -124,7 +124,10 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             return _run_unstructured(cfg, mesh, output_folder,
                                      watcher_points, write_xdmf,
                                      dtype=dtype, rtol=rtol, maxiter=maxiter,
-                                     record_gradient=record_gradient)
+                                     record_gradient=record_gradient,
+                                     solver=solver, profile_dir=profile_dir,
+                                     resume_from=resume_from,
+                                     write_checkpoint=write_checkpoint)
         print(f"Mesh ready: {mesh.shape[0]} x {mesh.shape[1]} grid = "
               f"{mesh.num_nodes} nodes, {2 * mesh.num_cells} triangles")
 
@@ -223,13 +226,18 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
 
 
 def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
-                      *, dtype, rtol, maxiter, record_gradient):
+                      *, dtype, rtol, maxiter, record_gradient,
+                      solver="xla", profile_dir=None, resume_from=None,
+                      write_checkpoint=True):
     """Transient run on an imported gmsh mesh via the ELL operator path,
-    producing the same artifact set as the structured driver."""
-    import jax as _jax
+    producing the same artifact set and feature surface (resume/profile/
+    checkpoint) as the structured driver."""
     from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
                                                make_simulate_fn_unstructured)
 
+    if solver == "vmem":
+        raise ValueError("solver='vmem' (Pallas VMEM CG) supports the "
+                         "structured stencil path only; use 'xla' or 'auto'")
     print(f"Imported unstructured mesh: {len(umesh.nodes)} nodes, "
           f"{len(umesh.cells)} triangles (ELL operator path)")
     heating = HeatingCurve.from_csv(cfg["heating"]["file"])
@@ -240,11 +248,21 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
                                          watcher_points=watcher_points)
     if rtol is None:
         rtol = 1e-11 if dtype == jnp.float64 else 1e-4
-    fn = jax.jit(make_simulate_fn_unstructured(
-        problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
-        record_gradient=record_gradient, record_fields=write_xdmf))
+
+    u0, t0 = None, 0.0
+    if resume_from is not None:
+        from heatflow_tpu.io.checkpoint import load_checkpoint
+        u0, t0, step0, _ = load_checkpoint(resume_from)
+        print(f"Resuming from checkpoint at t={t0:.4e} s"
+              + (f" (step {step0})" if step0 is not None else ""))
+
+    fn = make_simulate_fn_unstructured(
+        problem, dtype=dtype, rtol=rtol, maxiter=maxiter, rtol_wrt="r0",
+        record_gradient=record_gradient, record_fields=write_xdmf)
     t_loop = time.time()
-    ys = _jax.tree.map(np.asarray, fn())
+    from heatflow_tpu.utils import profile_trace
+    with profile_trace(profile_dir):
+        ys = jax.tree.map(np.asarray, fn(u0=u0, t0=t0))
     loop = time.time() - t_loop
 
     save_folder = output_folder or os.path.join(os.getcwd(), "sim_outputs",
@@ -269,6 +287,10 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
         for s, t in enumerate(ys["times"]):
             w.write(ys["field"][s], float(t))
         w.close()
+    if write_checkpoint:
+        from heatflow_tpu.io.checkpoint import save_checkpoint
+        save_checkpoint(save_folder, ys["final_u"], float(ys["times"][-1]),
+                        step=problem.num_steps)
     print(f"Loop time: {loop:.2f} s (includes jit compile); "
           f"CG iters mean {np.asarray(ys['cg_iters']).mean():.1f}")
     return ys

@@ -30,10 +30,15 @@ class EllOps:
     M_vals: np.ndarray        # (n_mats, N, K) r-weighted mass (unit ρc)
     G_vals: np.ndarray        # (N, K) radial-gradient rhs operator
     Mp_vals: np.ndarray       # (N, K) r-weighted mass (projection matrix)
+    Kf_vals: np.ndarray | None = None  # (n_mats, N, K) unweighted stiffness
+    Mf_vals: np.ndarray | None = None  # (n_mats, N, K) unweighted mass
 
     def device_put(self, dtype=jnp.float32):
+        n = self.cols.shape[0]
+        own = self.cols == np.arange(n, dtype=self.cols.dtype)[:, None]
         return {
             "cols": jnp.asarray(self.cols),
+            "own": jnp.asarray(own, dtype),   # diagonal-slot mask
             "K": jnp.asarray(self.K_vals, dtype),
             "M": jnp.asarray(self.M_vals, dtype),
             "G": jnp.asarray(self.G_vals, dtype),
@@ -80,6 +85,8 @@ def assemble_ell(nodes: np.ndarray, tris: np.ndarray, tri_tags: np.ndarray,
     coords = nodes[tris]                          # (M, 3, 2)
     Ke = p1.tri_stiffness_rw(coords)
     Me = p1.tri_mass_rw(coords)
+    Kfe = p1.tri_stiffness(coords)
+    Mfe = p1.tri_mass(coords)
     w = p1.tri_load_rw(coords)
     cr = p1.tri_dr_coeff(coords)
     Ge = w[:, :, None] * cr[:, None, :]
@@ -88,21 +95,22 @@ def assemble_ell(nodes: np.ndarray, tris: np.ndarray, tri_tags: np.ndarray,
     cols = np.tile(tris, (1, 3)).ravel()
 
     vals = []
-    for m in range(n_mats):
-        sel = (tri_tags == m + 1).astype(np.float64)[:, None, None]
-        vals.append((Ke * sel).ravel())
-    for m in range(n_mats):
-        sel = (tri_tags == m + 1).astype(np.float64)[:, None, None]
-        vals.append((Me * sel).ravel())
+    for elem in (Ke, Me, Kfe, Mfe):
+        for m in range(n_mats):
+            sel = (tri_tags == m + 1).astype(np.float64)[:, None, None]
+            vals.append((elem * sel).ravel())
     vals.append(Ge.ravel())
 
     n = len(nodes)
     cols_ell, out = _coo_to_ell(n, rows, cols, vals)
     K_vals = np.stack(out[:n_mats])
     M_vals = np.stack(out[n_mats:2 * n_mats])
-    G_vals = out[2 * n_mats]
+    Kf_vals = np.stack(out[2 * n_mats:3 * n_mats])
+    Mf_vals = np.stack(out[3 * n_mats:4 * n_mats])
+    G_vals = out[4 * n_mats]
     return EllOps(cols=cols_ell, K_vals=K_vals, M_vals=M_vals, G_vals=G_vals,
-                  Mp_vals=M_vals.sum(axis=0))
+                  Mp_vals=M_vals.sum(axis=0), Kf_vals=Kf_vals,
+                  Mf_vals=Mf_vals)
 
 
 def ell_apply(cols: jnp.ndarray, vals: jnp.ndarray, u: jnp.ndarray

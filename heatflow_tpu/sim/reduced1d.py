@@ -44,6 +44,58 @@ def extract_axis_submesh(mesh: StructuredMesh):
     return mesh.z.copy(), mesh.cell_tags[:, 0].copy()
 
 
+def extract_axis_submesh_unstructured(umesh, tolerance: float = 1e-10):
+    """(z (Nz,), cell_tags_1d (Nz-1,)) — the r=0 axis of an *unstructured*
+    triangle mesh, the reference's submesh extraction re-expressed as pure
+    index selection (ref run_no_diamond_1d.py:30-164):
+
+      * facet scan: an edge belongs to the axis iff BOTH endpoints have
+        |r| <= tolerance (ref :70-90);
+      * tag transfer: each axis edge inherits the tag of the first
+        (lowest-index) 2D cell containing it (ref :124-138 — dolfinx's
+        facet_to_cells lists cells in ascending index order and the
+        reference takes element [0]);
+      * the 1D mesh is the axis edges ordered by z.
+    """
+    nodes = np.asarray(umesh.nodes, dtype=np.float64)
+    cells = np.asarray(umesh.cells)
+    ctags = np.asarray(umesh.cell_tags)
+    on_axis = np.abs(nodes[:, 1]) <= tolerance
+
+    # all triangle edges with their owning cell
+    e = np.concatenate([cells[:, [0, 1]], cells[:, [1, 2]],
+                        cells[:, [2, 0]]], axis=0)
+    owner = np.tile(np.arange(len(cells)), 3)
+    sel = on_axis[e[:, 0]] & on_axis[e[:, 1]]
+    if not sel.any():
+        raise ValueError(
+            "No facets found on the r=0 axis. Check tolerance or mesh.")
+    e, owner = e[sel], owner[sel]
+
+    # unique edges; first-containing-cell = min owner per edge
+    key_pair = np.sort(e, axis=1)
+    key = key_pair[:, 0].astype(np.int64) * len(nodes) + key_pair[:, 1]
+    order = np.lexsort((owner, key))       # sort by key, then owner ascending
+    key, owner, key_pair = key[order], owner[order], key_pair[order]
+    first = np.ones(len(key), dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    edges = key_pair[first]                # (Ne, 2) node ids
+    tags = ctags[owner[first]]
+
+    # order edges along z and stitch the 1D node chain
+    mid = 0.5 * (nodes[edges[:, 0], 0] + nodes[edges[:, 1], 0])
+    zorder = np.argsort(mid)
+    edges, tags = edges[zorder], tags[zorder]
+    lo = np.where(nodes[edges[:, 0], 0] <= nodes[edges[:, 1], 0],
+                  edges[:, 0], edges[:, 1])
+    hi = np.where(nodes[edges[:, 0], 0] <= nodes[edges[:, 1], 0],
+                  edges[:, 1], edges[:, 0])
+    if not np.all(hi[:-1] == lo[1:]):
+        raise ValueError("axis facets do not form a single connected chain")
+    z = np.concatenate([nodes[lo, 0], nodes[hi[-1:], 0]])
+    return z, tags.copy()
+
+
 def node_kappas_1d(z: np.ndarray, cell_tags: np.ndarray,
                    kappas: np.ndarray) -> np.ndarray:
     """Per-node conductivity via the reference's node→cell rule: the first
@@ -119,11 +171,30 @@ class Problem1D:
         return int(np.argmin(np.abs(self.z - self.heating_z)))
 
 
-def build_problem_1d(mesh: StructuredMesh, heating, cfg, *,
+def build_problem_1d(mesh, heating, cfg, *,
                      gradient: GradientTable | None = None) -> Problem1D:
+    """Build the 1D reduced problem from either mesh kind. For a
+    StructuredMesh the axis is the z grid; for an imported UnstructuredMesh
+    the axis submesh is extracted facet-by-facet (the reference's case,
+    ref run_no_diamond_1d.py:30-164) and material properties come from the
+    config via the mesh's name→tag map."""
     from heatflow_tpu.config import mat_float
-    z, tags = extract_axis_submesh(mesh)
-    mats = mesh.materials
+    if isinstance(mesh, StructuredMesh):
+        z, tags = extract_axis_submesh(mesh)
+        material_tags = dict(mesh.material_tags)
+        kappas = np.array([m.kappa for m in mesh.materials])
+        rho_cvs = np.array([m.rho_cv for m in mesh.materials])
+    else:
+        z, tags = extract_axis_submesh_unstructured(mesh)
+        material_tags = dict(mesh.material_tags)
+        if not material_tags:
+            raise ValueError("unstructured mesh lacks material name→tag map")
+        order = sorted(material_tags.items(), key=lambda kv: kv[1])
+        if [t for _, t in order] != list(range(1, len(order) + 1)):
+            raise ValueError(f"material tags must be 1..n: {material_tags}")
+        kappas = np.array([mat_float(cfg, nm, "k") for nm, _ in order])
+        rho_cvs = np.array([mat_float(cfg, nm, "rho")
+                            * mat_float(cfg, nm, "cv") for nm, _ in order])
     # heating location: p-side insulator/coupler interface
     # (ref run_no_diamond_1d.py:568-569)
     z_sample = mat_float(cfg, "p_sample", "z")
@@ -134,9 +205,8 @@ def build_problem_1d(mesh: StructuredMesh, heating, cfg, *,
     t_final = float(cfg["timing"]["t_final"])
     num_steps = int(cfg["timing"]["num_steps"])
     return Problem1D(
-        z=z, cell_tags=tags, material_tags=dict(mesh.material_tags),
-        kappas=np.array([m.kappa for m in mats]),
-        rho_cvs=np.array([m.rho_cv for m in mats]),
+        z=z, cell_tags=tags, material_tags=material_tags,
+        kappas=kappas, rho_cvs=rho_cvs,
         dt=t_final / num_steps, num_steps=num_steps,
         ic_temp=float(cfg["heating"]["ic_temp"]), heating_z=heating_z,
         heat_time=np.asarray(heating.time, float),

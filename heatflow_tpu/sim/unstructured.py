@@ -23,7 +23,7 @@ from heatflow_tpu.mesh.msh_io import UnstructuredMesh
 from heatflow_tpu.ops.cg import pcg
 from heatflow_tpu.ops.ell import (EllOps, assemble_ell, ell_apply,
                                   ell_combine, ell_diag)
-from heatflow_tpu.sim.bc import HeatingCurve, gaussian_coeff, node_row_mask
+from heatflow_tpu.sim.bc import HeatingCurve, node_row_mask
 from heatflow_tpu.sim.problem import AXIS_TOL, BAND_RMAX, BIN_DZ
 
 
@@ -126,39 +126,77 @@ def build_problem_unstructured(mesh: UnstructuredMesh, heating: HeatingCurve,
 
 def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                   dtype=jnp.float64, rtol=1e-11,
-                                  maxiter=20000, record_gradient=True,
-                                  record_fields=False):
-    dev = problem.ell.device_put(dtype)
-    cols = dev["cols"]
+                                  maxiter=20000, fixed_iters=None,
+                                  proj_rtol=None, proj_maxiter=400,
+                                  record_gradient=True,
+                                  record_fields=False, rtol_wrt="b",
+                                  differentiable=False):
+    """Build a jittable simulate(kappas, rho_cvs, fwhm, u0, t0, source) on the
+    ELL operator path — same surface as the structured
+    ``stepper.make_simulate_fn`` (parameter overrides default to the
+    problem's values; passing arrays makes it a sweep kernel, vmappable over
+    any of the three material/laser parameters).
+
+    differentiable=True swaps the implicit solve to
+    ``pcg_solve`` (implicit differentiation via custom_linear_solve, one
+    adjoint CG per step under grad) and drops the cg_iters trace output —
+    the enabler for gradient-based experimental fitting on imported meshes.
+    """
+    from heatflow_tpu.ops.cg import pcg_fixed, pcg_solve
     nodes = problem.mesh.nodes
     n = len(nodes)
     dt = jnp.asarray(problem.dt, dtype)
     ic = jnp.asarray(problem.ic_temp, dtype)
-    free = jnp.asarray(~problem.dirichlet, dtype)
-    dirich = jnp.asarray(problem.dirichlet, dtype)
-    heat_t = jnp.asarray(problem.heating.time, dtype)
-    heat_T = jnp.asarray(problem.heating.temp, dtype)
-    amp_offset = heat_T[0] - ic
-    r_sq = jnp.asarray(nodes[:, 1] ** 2, dtype)
-    heat_f = jnp.asarray(problem.heat_mask, dtype)
+    num_steps = int(problem.num_steps)
+    n_bins = len(problem.bin_counts) if problem.bin_counts is not None else 0
+    has_watch = problem.watcher_nodes is not None
+    if proj_rtol is None:
+        proj_rtol = rtol
 
-    kp = jnp.asarray(problem.kappas, dtype)
-    rc = jnp.asarray(problem.rho_cvs, dtype)
-    A_vals, M_vals = ell_combine(dev["K"], dev["M"], kp, rc, dt)
-    diag = ell_diag(problem.ell.cols, A_vals)
-    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
-    apply_A = lambda v: ell_apply(cols, A_vals, v)
-    apply_s = lambda y: s * apply_A(s * y)
+    # Large arrays enter the jitted core as ARGUMENTS, not closure constants
+    # (closure constants trigger XLA constant folding on big meshes).
+    dev = problem.ell.device_put(dtype)
+    dev.update({
+        "free": jnp.asarray(~problem.dirichlet, dtype),
+        "dirich": jnp.asarray(problem.dirichlet, dtype),
+        "heat_t": jnp.asarray(problem.heating.time, dtype),
+        "heat_T": jnp.asarray(problem.heating.temp, dtype),
+        "r_sq": jnp.asarray(nodes[:, 1] ** 2, dtype),
+        "heat_f": jnp.asarray(problem.heat_mask, dtype),
+    })
+    if has_watch:
+        dev["watch"] = jnp.asarray(problem.watcher_nodes)
+    if record_gradient:
+        dev.update({
+            "band_nodes": jnp.asarray(problem.band_nodes),
+            "band_bins": jnp.asarray(problem.band_bins),
+            "bin_counts": jnp.asarray(problem.bin_counts, dtype),
+            "axis_nodes": jnp.asarray(problem.axis_nodes),
+        })
 
-    Mp_diag = ell_diag(problem.ell.cols, dev["Mp"])
-    s_mp = jax.lax.rsqrt(jnp.where(Mp_diag > 0, Mp_diag, 1.0))
-    apply_mp_s = lambda y: s_mp * ell_apply(cols, dev["Mp"], s_mp * y)
+    def _core(dev, kp, rc, fw, u0, t0, source):
+        cols = dev["cols"]
+        free, dirich = dev["free"], dev["dirich"]
+        heat_t, heat_T = dev["heat_t"], dev["heat_T"]
+        amp_offset = heat_T[0] - ic
 
-    coeff = jnp.asarray(gaussian_coeff(problem.fwhm), dtype)
-    profile = jnp.exp(coeff * r_sq) * heat_f
-    n_bins = len(problem.bin_counts)
+        A_vals, M_vals = ell_combine(dev["K"], dev["M"], kp, rc, dt)
+        diag = (A_vals * dev["own"]).sum(-1)
+        s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
+        apply_A = lambda v: ell_apply(cols, A_vals, v)
+        apply_s = lambda y: s * apply_A(s * y)
 
-    def simulate():
+        Mp_diag = (dev["Mp"] * dev["own"]).sum(-1)
+        s_mp = jax.lax.rsqrt(jnp.where(Mp_diag > 0, Mp_diag, 1.0))
+        apply_mp_s = lambda y: s_mp * ell_apply(cols, dev["Mp"], s_mp * y)
+
+        coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fw * fw)
+        profile = jnp.exp(coeff * dev["r_sq"]) * dev["heat_f"]
+
+        # volumetric source: rhs += dt ∫ f φ r dx = dt (M_proj @ f)
+        b_src = 0.0 if source is None \
+            else dt * ell_apply(cols, dev["Mp"], source)
+
         def bc_values(t):
             amp = jnp.interp(t, heat_t, heat_T) - amp_offset
             return ic * dirich + (amp - ic) * profile
@@ -166,37 +204,146 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         def step(carry, t):
             u_prev, gr_prev = carry
             g = bc_values(t)
-            b = (ell_apply(cols, M_vals, u_prev) - apply_A(g)) * s
+            b = (ell_apply(cols, M_vals, u_prev) + b_src - apply_A(g)) * s
             y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
-            sol = pcg(apply_s, b * free, y0, mask=free, rtol=rtol,
-                      maxiter=maxiter)
-            u = sol.x * s * free + g
-            outs = {"cg_iters": sol.iters}
-            if problem.watcher_nodes is not None:
-                outs["watch"] = u[jnp.asarray(problem.watcher_nodes)]
+            if differentiable:
+                x = pcg_solve(apply_s, b * free, y0, mask=free, rtol=rtol,
+                              maxiter=maxiter)
+                u = x * s * free + g
+                outs = {}
+            else:
+                if fixed_iters is not None:
+                    sol = pcg_fixed(apply_s, b * free, y0, mask=free,
+                                    iters=fixed_iters)
+                else:
+                    sol = pcg(apply_s, b * free, y0, mask=free, rtol=rtol,
+                              maxiter=maxiter, rtol_wrt=rtol_wrt)
+                u = sol.x * s * free + g
+                outs = {"cg_iters": sol.iters}
+            if has_watch:
+                outs["watch"] = u[dev["watch"]]
             if record_gradient:
                 br = s_mp * ell_apply(cols, dev["G"], u)
-                gsol = pcg(apply_mp_s, br, gr_prev / s_mp, rtol=rtol,
-                           maxiter=400)
+                gsol = pcg(apply_mp_s, br, gr_prev / s_mp, rtol=proj_rtol,
+                           maxiter=proj_maxiter)
                 gr = gsol.x * s_mp
-                vals = gr[jnp.asarray(problem.band_nodes)]
-                sums = jax.ops.segment_sum(
-                    vals, jnp.asarray(problem.band_bins),
-                    num_segments=n_bins)
-                outs["band"] = sums / jnp.asarray(problem.bin_counts, dtype)
-                outs["axis"] = gr[jnp.asarray(problem.axis_nodes)]
+                vals = gr[dev["band_nodes"]]
+                sums = jax.ops.segment_sum(vals, dev["band_bins"],
+                                           num_segments=n_bins)
+                outs["band"] = sums / dev["bin_counts"]
+                outs["axis"] = gr[dev["axis_nodes"]]
+                outs["proj_iters"] = gsol.iters
             else:
                 gr = gr_prev
             if record_fields:
                 outs["field"] = u
             return (u, gr), outs
 
-        u0 = jnp.full((n,), ic, dtype)
         gr0 = jnp.zeros((n,), dtype)
-        ts = jnp.arange(1, problem.num_steps + 1, dtype=dtype) * dt
+        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt + t0
         (u_fin, _), ys = jax.lax.scan(step, (u0, gr0), ts)
         ys["times"] = ts
         ys["final_u"] = u_fin
         return ys
 
+    jitted = jax.jit(_core)
+
+    def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None, t0=0.0,
+                 source=None):
+        kp = jnp.asarray(problem.kappas if kappas is None else kappas, dtype)
+        rc = jnp.asarray(problem.rho_cvs if rho_cvs is None else rho_cvs,
+                         dtype)
+        fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, dtype)
+        u0 = jnp.full((n,), ic, dtype) if u0 is None \
+            else jnp.asarray(u0, dtype)
+        src = None if source is None else jnp.asarray(source, dtype)
+        return jitted(dev, kp, rc, fw, u0, jnp.asarray(t0, dtype), src)
+
+    simulate.core = _core
+    simulate.dev = dev
     return simulate
+
+
+def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
+                               vary_material: str = "p_sample",
+                               dtype=jnp.float32, rtol: float = 1e-6,
+                               maxiter: int = 4000,
+                               fixed_iters: int | None = None):
+    """Batched sweep kernel on an imported unstructured mesh:
+    simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces (B, S, W) —
+    the unstructured mirror of ``sweepkernel.make_sweep_fn`` (one vmapped
+    scan instead of one process per config, ref parameter_sweep.py:436-446).
+    Differentiable in both inputs."""
+    tag_order = sorted(problem.mesh.material_tags.items(),
+                       key=lambda kv: kv[1])
+    names = [nm for nm, _ in tag_order]
+    m_idx = names.index(vary_material)
+    if problem.watcher_nodes is None:
+        raise ValueError("sweeps need watcher points on the problem")
+
+    fn = make_simulate_fn_unstructured(
+        problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
+        fixed_iters=fixed_iters, record_gradient=False,
+        differentiable=fixed_iters is None)
+    base_k = jnp.asarray(problem.kappas, dtype)
+    rc = jnp.asarray(problem.rho_cvs, dtype)
+    n = len(problem.mesh.nodes)
+    ic = jnp.asarray(problem.ic_temp, dtype)
+
+    # dev enters as an argument (not a closure constant — see stepper note)
+    def one(dev, k, f, u0, t0):
+        kp = base_k.at[m_idx].set(k)
+        ys = fn.core(dev, kp, rc, f, u0, t0, None)
+        return ys["watch"], ys["final_u"]
+
+    batched = jax.jit(lambda dev, ks, fs, u0, t0: jax.vmap(
+        lambda k, f, u: one(dev, k, f, u, t0))(ks, fs, u0))
+
+    def simulate_batch(sample_k, fwhm):
+        B = len(np.asarray(sample_k))
+        u0 = jnp.full((B, n), ic, dtype)
+        return batched(fn.dev, jnp.asarray(sample_k, dtype),
+                       jnp.asarray(fwhm, dtype), u0,
+                       jnp.asarray(0.0, dtype))[0]
+
+    simulate_batch.times = (np.arange(1, problem.num_steps + 1) * problem.dt)
+    simulate_batch.watcher_names = list(problem.watcher_names)
+    return simulate_batch
+
+
+def solve_steady_unstructured(problem: ProblemUnstructured,
+                              bc_values: np.ndarray, *, f=None,
+                              weighted: bool = False, dtype=jnp.float64,
+                              rtol: float = 1e-11, maxiter: int = 50000):
+    """Steady conduction solve Σ_m κ_m K_m u = f on the ELL operators with
+    Dirichlet lifting — the unstructured mirror of ``steady.solve_steady``
+    (ref space_and_forms.py:119-149)."""
+    ell = problem.ell
+    Ksrc = ell.K_vals if weighted else ell.Kf_vals
+    if Ksrc is None:
+        raise ValueError("ELL ops lack unweighted stiffness; re-assemble")
+    cols = jnp.asarray(ell.cols)
+    K = jnp.einsum("m,mnk->nk", jnp.asarray(problem.kappas, dtype),
+                   jnp.asarray(Ksrc, dtype))
+    free = jnp.asarray(~problem.dirichlet, dtype)
+    dirich = jnp.asarray(problem.dirichlet, dtype)
+    g = jnp.asarray(bc_values, dtype) * dirich
+
+    diag = ell_diag(ell.cols, K)
+    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
+    apply_s = lambda y: s * ell_apply(cols, K, s * y)
+
+    if f is None:
+        b = jnp.zeros_like(g)
+    else:
+        Msrc = ell.M_vals if weighted else ell.Mf_vals
+        M_unit = jnp.einsum("mnk->nk", jnp.asarray(Msrc, dtype))
+        b = ell_apply(cols, M_unit, jnp.asarray(f, dtype))
+
+    b_lift = (b - ell_apply(cols, K, g)) * s * free
+    sol = pcg(apply_s, b_lift, jnp.zeros_like(g), mask=free, rtol=rtol,
+              maxiter=maxiter)
+    u = sol.x * s * free + g
+    return np.asarray(u), {"iters": int(sol.iters),
+                           "residual": float(sol.residual),
+                           "converged": bool(sol.converged)}
