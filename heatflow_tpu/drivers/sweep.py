@@ -66,10 +66,19 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         batch_size: int | None = None,
                         save_run_dirs: bool = True, devices=None):
     """Run the sweep. ``num_processes`` is accepted for API parity and
-    ignored — parallelism is the vmapped batch sharded over TPU devices."""
+    ignored — parallelism is the vmapped batch, sharded over ``devices``
+    (default: all of ``jax.devices()``) along the batch axis; each device
+    integrates its shard of configs independently (the multi-chip scaling of
+    the reference's process fan-out, ref parameter_sweep.py:436-446)."""
     del write_xdmf  # per-run XDMF in sweeps is supported only via run2d
     dtype = dtype or (jnp.float32 if jax.default_backend() != "cpu"
                       else default_dtype())
+    devs = list(devices) if devices is not None else jax.devices()
+    mesh = None
+    if len(devs) > 1:
+        from heatflow_tpu.parallel.sharding import config_mesh
+        mesh = config_mesh(devices=devs)
+    n_conf = 1 if mesh is None else mesh.shape["config"]
     if isinstance(base_config_path, dict):
         base_config, base_config_name = base_config_path, "<dict>"
     else:
@@ -86,8 +95,9 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         "width_range": list(width_range), "num_points": list(num_points),
         "fwhm_values": fwhm_vals.tolist(), "k_values": k_vals.tolist(),
         "width_values": width_vals.tolist(), "total_runs": len(combos),
-        "engine": "heatflow_tpu vmapped batch",
-        "devices": [str(d) for d in (devices or jax.devices())],
+        "engine": "heatflow_tpu vmapped batch"
+                  + (f" sharded over {n_conf} devices" if mesh else ""),
+        "devices": [str(d) for d in devs],
         "timestamp": datetime.now().isoformat(),
         "watcher_points": {
             "description": "Temperature monitoring points positioned halfway "
@@ -112,23 +122,31 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         rebuild = not (os.path.exists(os.path.join(mesh_folder, "mesh.msh"))
                        and os.path.exists(os.path.join(mesh_folder,
                                                        "mesh_cfg.yaml")))
-        mesh = _prepare_mesh(cfg_w, mesh_folder, rebuild, "auto")
+        mesh_w = _prepare_mesh(cfg_w, mesh_folder, rebuild, "auto")
         heating = HeatingCurve.from_csv(cfg_w["heating"]["file"])
         wp = coupler_watcher_points(cfg_w)
-        problem = build_problem(mesh, heating, cfg_w, watcher_points=wp)
-        sweep_fn = make_sweep_fn(problem, dtype=dtype)
+        problem = build_problem(mesh_w, heating, cfg_w, watcher_points=wp)
+        sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])
         B = len(group)
         # default chunking keeps single device calls bounded (some TPU
-        # attachment paths abort calls running longer than ~a minute)
+        # attachment paths abort calls running longer than ~a minute);
+        # sharded chunks are padded to a multiple of the config-axis size
         chunk = batch_size or min(B, 64)
+        chunk = max(n_conf, (chunk // n_conf) * n_conf)
         t_group = time.time()
         traces = []
         for s in range(0, B, chunk):
-            tr = sweep_fn(ks[s:s + chunk], fs[s:s + chunk])
-            traces.append(np.asarray(tr))
+            ks_c, fs_c = ks[s:s + chunk], fs[s:s + chunk]
+            n_c = len(ks_c)
+            pad = (-n_c) % n_conf
+            if pad:
+                ks_c = np.concatenate([ks_c, np.repeat(ks_c[-1:], pad)])
+                fs_c = np.concatenate([fs_c, np.repeat(fs_c[-1:], pad)])
+            tr = sweep_fn(ks_c, fs_c)
+            traces.append(np.asarray(tr)[:n_c])
         traces = np.concatenate(traces, axis=0)      # (B, S, W)
         group_runtime = time.time() - t_group
 

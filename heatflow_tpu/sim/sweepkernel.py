@@ -30,13 +30,21 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                   dtype=jnp.float32, rtol: float = 1e-6,
                   maxiter: int = 4000, fixed_iters: int | None = None,
                   precondition: str = "jacobi",
-                  num_steps: int | None = None):
+                  num_steps: int | None = None, mesh=None):
     """Build simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces
     (B, S, W). vmappable/shardable along B; differentiable in both inputs.
 
     ``simulate_batch.segment(ks, fs, u0, t0)`` additionally returns the final
     fields, enabling time-chunked execution of very large batches (bounded
     device-call durations) — set ``num_steps`` to the chunk length.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a 'config' axis (and optionally a
+    'z' axis, see parallel.config_mesh). The batch axis is sharded over
+    'config' — each device integrates its shard of configs with no
+    communication (the TPU-scale replacement for the reference's process
+    pool, ref parameter_sweep.py:436-446) — and, when the grid divides, the
+    field's z axis over 'z' with XLA-inserted halo exchange. Batch size must
+    be a multiple of the 'config' axis size (callers pad).
     """
     dev = problem.device_arrays(dtype)
     num_steps = int(problem.num_steps if num_steps is None else num_steps)
@@ -118,10 +126,43 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         u_fin, traces = jax.lax.scan(step, u0, ts)
         return traces, u_fin
 
-    batched = jax.jit(lambda ops, ks, fs: jax.vmap(
-        lambda k, f: one_config(ops, k, f)[0])(ks, fs))
-    batched_seg = jax.jit(lambda ops, ks, fs, u0, t0: jax.vmap(
-        lambda k, f, u: one_config(ops, k, f, u, t0))(ks, fs, u0))
+    _batched = lambda ops, ks, fs: jax.vmap(
+        lambda k, f: one_config(ops, k, f)[0])(ks, fs)
+    _batched_seg = lambda ops, ks, fs, u0, t0: jax.vmap(
+        lambda k, f, u: one_config(ops, k, f, u, t0))(ks, fs, u0)
+
+    if mesh is None:
+        batched = jax.jit(_batched)
+        batched_seg = jax.jit(_batched_seg)
+    else:
+        if precondition == "mg":
+            raise ValueError("mesh sharding composes with the Jacobi path; "
+                             "MG coarse grids are not sharded yet")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        z_ok = ("z" in mesh.axis_names and mesh.shape["z"] > 1
+                and nz % mesh.shape["z"] == 0)
+        z_ax = "z" if z_ok else None
+
+        def op_spec(x):
+            nd = jnp.ndim(x)
+            if nd == 3:                       # (7, Nz, Nr) stencils
+                return P(None, z_ax, None)
+            if nd == 2:                       # (Nz, Nr) masks/profiles
+                return P(z_ax, None)
+            return P()                        # curves, watcher ids
+
+        ops_sh = jax.tree.map(
+            lambda x: NamedSharding(mesh, op_spec(x)), ops)
+        cfg_sh = NamedSharding(mesh, P("config"))
+        field_sh = NamedSharding(mesh, P("config", z_ax, None))
+        scalar_sh = NamedSharding(mesh, P())
+        batched = jax.jit(_batched,
+                          in_shardings=(ops_sh, cfg_sh, cfg_sh),
+                          out_shardings=cfg_sh)
+        batched_seg = jax.jit(_batched_seg,
+                              in_shardings=(ops_sh, cfg_sh, cfg_sh,
+                                            field_sh, scalar_sh),
+                              out_shardings=(cfg_sh, field_sh))
 
     def simulate_batch(sample_k, fwhm):
         return batched(ops, jnp.asarray(sample_k, dtype),
@@ -148,18 +189,30 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
                            fixed_iters: int | None = None,
                            rtol: float = 1e-5, maxiter: int = 4000,
                            precondition: str = "jacobi",
-                           verbose: bool = False):
+                           verbose: bool = False, mesh=None):
     """Run the full transient for a (possibly very large) batch with bounded
     device-call durations: the whole batch stays resident while time is
-    integrated chunk by chunk. Returns traces (B, num_steps, W)."""
+    integrated chunk by chunk. Returns traces (B, num_steps, W).
+
+    ``mesh``: shard the batch axis over the mesh's 'config' devices (the
+    batch is padded to a multiple of the axis size and sliced back)."""
     total = int(problem.num_steps)
     chunk_len = min(step_chunk, total)
     fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
                        rtol=rtol, maxiter=maxiter, precondition=precondition,
-                       num_steps=chunk_len)
-    B = len(np.asarray(sample_k))
+                       num_steps=chunk_len, mesh=mesh)
+    sample_k = np.asarray(sample_k)
+    fwhm = np.asarray(fwhm)
+    B = len(sample_k)
+    if mesh is not None:
+        nc = mesh.shape["config"]
+        pad = (-B) % nc
+        if pad:
+            sample_k = np.concatenate([sample_k,
+                                       np.repeat(sample_k[-1:], pad)])
+            fwhm = np.concatenate([fwhm, np.repeat(fwhm[-1:], pad)])
     nz, nr = fn.shape
-    u = jnp.full((B, nz, nr), fn.ic_temp, dtype)
+    u = jnp.full((len(sample_k), nz, nr), fn.ic_temp, dtype)
     pieces = []
     done = 0
     while done < total:
@@ -174,7 +227,7 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
         done += n
         if verbose:
             print(f"  time chunk done: {done}/{total} steps")
-    return np.concatenate(pieces, axis=1)
+    return np.concatenate(pieces, axis=1)[:B]
 
 
 def normalized_oside_rmse(times, traces, exp_time, exp_oside_normed,

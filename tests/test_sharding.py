@@ -90,3 +90,99 @@ def test_batch_step_sharded_matches_unsharded(system):
         out = np.asarray(step(a2, m2, f2, g2, u2))
     np.testing.assert_allclose(out, ref, rtol=1e-10,
                                atol=1e-10 * np.abs(ref).max())
+
+
+# ----------------------------------------------------------------------
+# production sweep path (VERDICT r1 item 2): multi-step scans with watcher
+# accumulation, sharded through make_sweep_fn / run_parameter_sweep
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sweep_problem(tmp_path_factory):
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+    from tests.fixtures import synthetic_heating
+    root = tmp_path_factory.mktemp("shsweep")
+    heat_csv = root / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 5
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    heating = HeatingCurve.from_csv(str(heat_csv))
+    problem = build_problem(mesh, heating, cfg,
+                            watcher_points={"p": (0.0, 0.0),
+                                            "o": (1e-6, 0.0)})
+    return cfg, problem, str(heat_csv)
+
+
+def test_make_sweep_fn_sharded_scan_matches_unsharded(sweep_problem):
+    """Full multi-step scan with watcher accumulation under config x z
+    sharding equals the single-device run (not just one step, not just
+    finiteness)."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    _cfg, problem, _ = sweep_problem
+    B = 8
+    ks = np.linspace(2.0, 8.0, B)
+    fs = np.linspace(4e-6, 9e-6, B)
+    ref = np.asarray(make_sweep_fn(problem, dtype=jnp.float64,
+                                   fixed_iters=10)(ks, fs))
+    nz = problem.mesh.shape[0]
+    zs = 2 if nz % 2 == 0 else 1
+    dmesh = config_mesh(8, z_shards=zs)
+    sh = np.asarray(make_sweep_fn(problem, dtype=jnp.float64,
+                                  fixed_iters=10, mesh=dmesh)(ks, fs))
+    np.testing.assert_allclose(sh, ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+
+def test_time_chunked_sharded_matches_unsharded(sweep_problem):
+    """The resident time-chunked runner shards its batch axis (with padding
+    to the config-axis size) and matches the unsharded result."""
+    from heatflow_tpu.sim.sweepkernel import run_sweep_time_chunked
+    _cfg, problem, _ = sweep_problem
+    ks = np.linspace(2.0, 8.0, 5)          # 5 configs → padded to 8
+    fs = np.linspace(4e-6, 9e-6, 5)
+    ref = run_sweep_time_chunked(problem, ks, fs, step_chunk=2,
+                                 fixed_iters=10, dtype=jnp.float64)
+    dmesh = config_mesh(8, z_shards=1)
+    sh = run_sweep_time_chunked(problem, ks, fs, step_chunk=2,
+                                fixed_iters=10, dtype=jnp.float64,
+                                mesh=dmesh)
+    assert sh.shape == ref.shape == (5, problem.num_steps, 2)
+    np.testing.assert_allclose(sh, ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+
+def test_run_parameter_sweep_driver_sharded(sweep_problem, tmp_path):
+    """The PRODUCTION driver path: run_parameter_sweep over all 8 virtual
+    devices matches the single-device run and reports honest metadata."""
+    import json
+    from heatflow_tpu.drivers.sweep import run_parameter_sweep
+    cfg, _problem, _heat = sweep_problem
+
+    kwargs = dict(fwhm_range=(4e-6, 9e-6), k_range=(2.0, 8.0),
+                  width_range=(1.84e-6, 1.84e-6), num_points=(2, 3, 1),
+                  suppress_print=True, dtype=jnp.float64,
+                  save_run_dirs=True)
+    out1 = str(tmp_path / "single")
+    r1, f1 = run_parameter_sweep(cfg, out1,
+                                 base_mesh_folder=str(tmp_path / "m1"),
+                                 devices=[jax.devices()[0]], **kwargs)
+    out8 = str(tmp_path / "sharded")
+    r8, f8 = run_parameter_sweep(cfg, out8,
+                                 base_mesh_folder=str(tmp_path / "m8"),
+                                 devices=jax.devices(), **kwargs)
+    assert len(r1) == len(r8) == 6 and not f1 and not f8
+
+    import pandas as pd
+    for rec1, rec8 in zip(r1, r8):
+        assert rec1["run_name"] == rec8["run_name"]
+        a = pd.read_csv(f"{out1}/{rec1['run_name']}/watcher_points.csv")
+        b = pd.read_csv(f"{out8}/{rec8['run_name']}/watcher_points.csv")
+        np.testing.assert_allclose(b.to_numpy(), a.to_numpy(), rtol=1e-9)
+
+    meta = json.load(open(f"{out8}/sweep_metadata.json"))
+    assert "sharded over 8 devices" in meta["engine"]
+    assert len(meta["devices"]) == 8
