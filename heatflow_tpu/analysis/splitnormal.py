@@ -139,6 +139,53 @@ def _lm_fit(r, y, p0, r_lo, r_hi, iters: int = 60):
     return best_p, rmse
 
 
+@partial(jax.jit, static_argnames=("sweeps", "probes"))
+def _minimax_refine(r, y, p0, r_lo, r_hi, sweeps: int = 40,
+                    probes: int = 16):
+    """True minimax polishing: minimize max|y - f(p)| by cyclic coordinate
+    search with a shrinking bracket (the jit/vmap-friendly equivalent of the
+    reference's Powell minimize on max_abs_error,
+    ref gaussian_fit_analysis.py:91-96). Warm-started from the LM solution.
+    """
+    valid = jnp.isfinite(y) & jnp.isfinite(r)
+    w = valid.astype(y.dtype)
+    y0 = jnp.where(valid, y, 0.0)
+
+    def maxerr(p):
+        f, _ = _model_and_jac(p, r)
+        return jnp.max(jnp.abs(y0 - jnp.where(valid, f, 0.0)) * w)
+
+    # per-parameter step scales: fractions of the parameter magnitudes
+    data_scale = jnp.max(jnp.abs(y0)) + 1e-30
+    span = r_hi - r_lo
+    base = jnp.stack([jnp.abs(p0[0]) + 0.1 * data_scale,
+                      0.25 * span,
+                      jnp.abs(p0[2]) + 0.05 * span,
+                      jnp.abs(p0[3]) + 0.05 * span,
+                      jnp.abs(p0[4]) + 0.1 * data_scale])
+    offsets = jnp.linspace(-1.0, 1.0, probes)   # symmetric probe grid
+
+    def coord_step(carry, _):
+        p, step, j = carry
+
+        def probe(off):
+            cand = _project(p.at[j].add(off * step[j]), r_lo, r_hi)
+            return maxerr(cand)
+
+        errs = jax.vmap(probe)(offsets)
+        k = jnp.argmin(errs)
+        best = _project(p.at[j].add(offsets[k] * step[j]), r_lo, r_hi)
+        improved = errs[k] < maxerr(p)
+        p = jnp.where(improved, best, p)
+        # after a full cycle over the 5 coordinates, shrink the bracket
+        step = jnp.where(j == 4, step * 0.7, step)
+        return (p, step, (j + 1) % 5), None
+
+    init = (p0, 0.5 * base, jnp.asarray(0))
+    (p, _s, _j), _ = jax.lax.scan(coord_step, init, None, length=5 * sweeps)
+    return p, maxerr(p)
+
+
 def _initial_guesses(r, y):
     valid = np.isfinite(y) & np.isfinite(r)
     rv, yv = r[valid], y[valid]
@@ -153,7 +200,12 @@ def _initial_guesses(r, y):
 def fit_split_normal_to_profile(radial_positions, gradient_values,
                                 initial_guess=None, fit_method="rmse"):
     """Fit one profile; returns (params list, error) — the reference's
-    single-profile API (ref :55-103). The ±amplitude guess race is kept."""
+    single-profile API (ref :55-103). The ±amplitude guess race is kept.
+
+    fit_method='maxerr' performs a true minimax optimization (coordinate-
+    search polish of max|err| warm-started from the LM/RMSE solution),
+    matching the reference's Powell minimize on max_abs_error (ref :91-96)
+    rather than merely re-scoring the RMSE optimum."""
     r = np.asarray(radial_positions, float)
     y = np.asarray(gradient_values, float)
     valid = np.isfinite(y) & np.isfinite(r)
@@ -166,11 +218,12 @@ def fit_split_normal_to_profile(radial_positions, gradient_values,
     for g in guesses:
         p, rmse = _lm_fit(jnp.asarray(r), jnp.asarray(y), jnp.asarray(g),
                           r_lo, r_hi)
-        p, rmse = np.asarray(p), float(rmse)
-        err = rmse
         if fit_method == "maxerr":
-            f = split_normal_function(r[valid], *p)
-            err = float(np.max(np.abs(y[valid] - f)))
+            p, err = _minimax_refine(jnp.asarray(r), jnp.asarray(y), p,
+                                     r_lo, r_hi)
+            p, err = np.asarray(p), float(err)
+        else:
+            p, err = np.asarray(p), float(rmse)
         if err < best[1]:
             best = (list(map(float, p)), err)
     return best
@@ -208,6 +261,11 @@ def analyze_split_normal_fits(plotter, fit_method="rmse") -> dict:
     fit2 = jax.vmap(lambda y, gs: jax.vmap(
         lambda g: _lm_fit(jnp.asarray(r), y, g, r_lo, r_hi))(gs))
     ps, rmses = fit2(jnp.asarray(grid), jnp.asarray(guesses))
+    if fit_method == "maxerr":
+        # vmapped minimax polish of every (timestep × guess) LM solution
+        refine2 = jax.vmap(lambda y, pp: jax.vmap(
+            lambda p: _minimax_refine(jnp.asarray(r), y, p, r_lo, r_hi))(pp))
+        ps, rmses = refine2(jnp.asarray(grid), ps)
     ps, rmses = np.asarray(ps), np.asarray(rmses)
     pick = rmses.argmin(axis=1)
     params = ps[np.arange(len(times)), pick]

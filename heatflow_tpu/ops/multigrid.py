@@ -8,9 +8,15 @@ Design (all jit/vmap-compatible; Python loops over levels unroll at trace
 time):
   * hierarchy: every-other-grid-line coarsening of the graded tensor grid
     (endpoints kept), per level;
-  * coarse operators: *rediscretized* — the per-material stencil assembly is
-    re-run on each coarse grid, so a sweep's per-config operator is the same
-    cheap linear combination on every level;
+  * coarse operators: **Galerkin (RAP)** by default — per-material
+    K_c = Pᵀ K_f P, M_c = Pᵀ M_f P computed host-side at setup, so the thin
+    high-contrast layers (0.08 µm couplers in a 90 µm domain, κ 3.8→2000)
+    keep their algebraic influence on every level instead of being voted
+    away by coarse-cell tags; a sweep's per-config operator stays the same
+    cheap linear combination on every level because RAP is linear in the
+    material coefficients. RAP of the 7-point P1 stencil under bilinear
+    transfers is exactly 9-point (full 3x3), and 9-point is closed under
+    further RAP. ``coarsening='rediscretize'`` keeps the round-1 scheme;
   * transfers: tensor-product bilinear interpolation P (coarse nodes are a
     subset of fine nodes), restriction R = Pᵀ;
   * smoother: weighted Jacobi (ω = 2/3), symmetric pre/post counts, masked to
@@ -63,11 +69,29 @@ class MGLevel:
     wr: np.ndarray | None = None
 
 
+def _axis_transfer_matrix(li: np.ndarray, w: np.ndarray, n_coarse: int):
+    """1D interpolation matrix P (n_fine, n_coarse) from (left_index,
+    left_weight) arrays; the full transfer is kron(Pz, Pr) (z-major ids)."""
+    import scipy.sparse as sp
+    nf = len(li)
+    rows = np.concatenate([np.arange(nf)] * 2)
+    cols = np.concatenate([li, li + 1])
+    vals = np.concatenate([w, 1.0 - w])
+    return sp.coo_matrix((vals, (rows, cols)), shape=(nf, n_coarse)).tocsr()
+
+
 def build_hierarchy(mesh: StructuredMesh, dirichlet: np.ndarray,
                     *, min_size: int = 6, max_levels: int = 10,
-                    stencils=None) -> list[MGLevel]:
+                    stencils=None, coarsening: str = "rap") -> list[MGLevel]:
     """Build the level list, finest first. ``stencils`` can pass the already-
-    assembled finest-level StencilPack to avoid re-assembly."""
+    assembled finest-level StencilPack to avoid re-assembly.
+
+    coarsening: 'rap' (Galerkin triple product, 9-point coarse stencils) or
+    'rediscretize' (re-assembled P1 on the coarse grid, 7-point).
+    """
+    import scipy.sparse as sp
+    from heatflow_tpu.ops.stencil import sparse_to_stencil, stencil_to_coo
+
     if stencils is None:
         stencils = assemble_stencils(mesh)
     levels = [MGLevel(mesh=mesh, dirichlet=dirichlet.astype(bool),
@@ -84,12 +108,28 @@ def build_hierarchy(mesh: StructuredMesh, dirichlet: np.ndarray,
             cell_tags=_coarse_tags(fine.mesh, iz, ir),
             material_tags=dict(fine.mesh.material_tags),
             materials=list(fine.mesh.materials))
-        cst = assemble_stencils(cmesh)
         liz, wz = _axis_interp(fine.mesh.z, iz)
         lir, wr = _axis_interp(fine.mesh.r, ir)
+        if coarsening == "rap":
+            n = fine.mesh.num_nodes
+            P = sp.kron(_axis_transfer_matrix(liz, wz, len(iz)),
+                        _axis_transfer_matrix(lir, wr, len(ir))).tocsr()
+
+            def rap(C):
+                rows, cols, vals = stencil_to_coo(C)
+                A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+                return sparse_to_stencil((P.T @ A @ P).tocoo(), cmesh.shape)
+
+            cK = np.stack([rap(fine.K[m]) for m in range(fine.K.shape[0])])
+            cM = np.stack([rap(fine.M[m]) for m in range(fine.M.shape[0])])
+        elif coarsening == "rediscretize":
+            cst = assemble_stencils(cmesh)
+            cK, cM = cst.K, cst.M
+        else:
+            raise ValueError(f"unknown coarsening {coarsening!r}")
         levels.append(MGLevel(
             mesh=cmesh, dirichlet=fine.dirichlet[np.ix_(iz, ir)],
-            K=cst.K, M=cst.M, liz=liz, wz=wz, lir=lir, wr=wr))
+            K=cK, M=cM, liz=liz, wz=wz, lir=lir, wr=wr))
     return levels
 
 
@@ -160,36 +200,83 @@ def device_levels(levels: list[MGLevel], dtype=jnp.float32):
 
 
 def make_vcycle(level_ops, *, nu_pre: int = 2, nu_post: int = 2,
-                nu_coarse: int = 24, omega: float = OMEGA):
+                nu_coarse: int = 24, omega: float = OMEGA,
+                smoother: str = "chebyshev", cheb_degree: int = 4,
+                cheb_coarse_degree: int = 16):
     """Build the V-cycle preconditioner fn(r) -> z ≈ A⁻¹ r (masked).
 
-    level_ops: list of dicts with 'A' (7-point stencil), 'free', 'shape' and
-    transfer arrays — i.e. device_levels() entries augmented with the
+    level_ops: list of dicts with 'A' (7/9-point stencil), 'free', 'shape'
+    and transfer arrays — i.e. device_levels() entries augmented with the
     combined operator 'A' for the current material parameters.
-    """
-    diags = []
-    for lv in level_ops:
-        d = lv["A"][..., 0, :, :]
-        diags.append(jnp.where(d != 0, d, 1.0))
 
-    def smooth(l, x, b, nu):
+    smoother: 'chebyshev' (default — a fixed polynomial in D⁻¹A targeting
+    [0.08 λmax, 1.05 λmax] with λmax from a Gershgorin bound; far stronger
+    than point Jacobi on the graded anisotropic DAC cells and still a fixed
+    linear SPD operator, so CG stays valid) or 'jacobi' (ω-damped point
+    Jacobi, the round-1 scheme).
+    """
+    diags, dinvs, lam_maxs = [], [], []
+    for lv in level_ops:
+        A, free = lv["A"], lv["free"]
+        d = A[..., 0, :, :]
+        d = jnp.where(d != 0, d, 1.0)
+        diags.append(d)
+        dinv = free / d
+        dinvs.append(dinv)
+        if smoother == "chebyshev":
+            # Gershgorin bound on λmax(D⁻¹A) over free dofs
+            rowsum = jnp.sum(jnp.abs(A), axis=-3)
+            lam_maxs.append(jnp.max(rowsum / d * free))
+
+    def smooth_jacobi(l, x, b, nu):
         A, free = level_ops[l]["A"], level_ops[l]["free"]
         for _ in range(nu):
             x = x + omega * (b - apply_stencil(A, x)) / diags[l] * free
         return x
 
+    def smooth_cheb(l, x, b, degree):
+        """Chebyshev iteration on D⁻¹A (textbook recurrence, cf. hypre's
+        polynomial smoother); a fixed degree-``degree`` polynomial, linear
+        in b, identical pre/post → SPD V-cycle."""
+        A, free = level_ops[l]["A"], level_ops[l]["free"]
+        dinv, lmax = dinvs[l], lam_maxs[l]
+        lo, hi = 0.08 * lmax, 1.05 * lmax
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = (b - apply_stencil(A, x)) * free
+        d = dinv * r / theta
+        x = x + d
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = (b - apply_stencil(A, x)) * free
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * r)
+            x = x + d
+            rho = rho_new
+        return x
+
+    if smoother == "chebyshev":
+        smooth = smooth_cheb
+        pre_n, post_n, coarse_n = cheb_degree, cheb_degree, cheb_coarse_degree
+    elif smoother == "jacobi":
+        smooth = smooth_jacobi
+        pre_n, post_n, coarse_n = nu_pre, nu_post, nu_coarse
+    else:
+        raise ValueError(f"unknown smoother {smoother!r}")
+
     n_levels = len(level_ops)
 
     def vcycle_at(l, b):
         if l == n_levels - 1:
-            return smooth(l, jnp.zeros_like(b), b, nu_coarse)
+            return smooth(l, jnp.zeros_like(b), b, coarse_n)
         A, free = level_ops[l]["A"], level_ops[l]["free"]
-        x = smooth(l, jnp.zeros_like(b), b, nu_pre)
+        x = smooth(l, jnp.zeros_like(b), b, pre_n)
         res = (b - apply_stencil(A, x)) * free
         nxt = level_ops[l + 1]
         bc = _restrict(nxt, res, nxt["shape"]) * nxt["free"]
         xc = vcycle_at(l + 1, bc)
         x = x + _prolong(nxt, xc) * free
-        return smooth(l, x, b, nu_post)
+        return smooth(l, x, b, post_n)
 
     return lambda r: vcycle_at(0, r)

@@ -27,7 +27,18 @@ from heatflow_tpu.ops import p1
 OFFSETS: tuple[tuple[int, int], ...] = (
     (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1),
 )
+# Galerkin-coarsened (RAP) operators fill the full 3x3 neighborhood: the
+# bilinear-transfer triple product adds the two anti-diagonal couplings.
+OFFSETS9: tuple[tuple[int, int], ...] = OFFSETS + ((1, -1), (-1, 1))
 _OFF_INDEX = {off: k for k, off in enumerate(OFFSETS)}
+
+
+def offsets_for(n_points: int) -> tuple[tuple[int, int], ...]:
+    if n_points == 7:
+        return OFFSETS
+    if n_points == 9:
+        return OFFSETS9
+    raise ValueError(f"unsupported stencil size {n_points} (7 or 9)")
 
 # Grid positions of the three vertices of each triangle type within its quad.
 _TRI_VPOS = {
@@ -174,23 +185,25 @@ def _shifted(u: jnp.ndarray, di: int, dj: int) -> jnp.ndarray:
 
 
 def apply_stencil(C: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Compute (A @ u) where A is a 7-point stencil.
+    """Compute (A @ u) where A is a 7-point (or RAP 9-point) stencil.
 
-    C : (..., 7, Nz, Nr) stencil coefficients
+    C : (..., 7|9, Nz, Nr) stencil coefficients
     u : (..., Nz, Nr) field
     Broadcasting over leading dims follows numpy rules (so a batched C with a
     batched u vmaps for free).
     """
+    offs = offsets_for(C.shape[-3])
     out = C[..., 0, :, :] * u
-    for k, (di, dj) in enumerate(OFFSETS[1:], start=1):
+    for k, (di, dj) in enumerate(offs[1:], start=1):
         out = out + C[..., k, :, :] * _shifted(u, di, dj)
     return out
 
 
 def stencil_transpose_apply(C: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Compute (A^T @ u) for a stencil A (needed for adjoint/grad paths)."""
+    offs = offsets_for(C.shape[-3])
     out = C[..., 0, :, :] * u
-    for k, (di, dj) in enumerate(OFFSETS[1:], start=1):
+    for k, (di, dj) in enumerate(offs[1:], start=1):
         out = out + _shifted(C[..., k, :, :] * u, -di, -dj)
     return out
 
@@ -212,15 +225,43 @@ def combine_operator(K: jnp.ndarray, M: jnp.ndarray, kappas: jnp.ndarray,
 
 
 def stencil_to_coo(C: np.ndarray):
-    """Expand a (7, Nz, Nr) stencil into COO triplets (rows, cols, vals) over
-    flattened node ids — for cross-validation against scipy assembly."""
-    _, nz, nr = C.shape
+    """Expand a (7|9, Nz, Nr) stencil into COO triplets (rows, cols, vals)
+    over flattened node ids — for scipy cross-validation and RAP products."""
+    npts, nz, nr = C.shape
     rows, cols, vals = [], [], []
     ii, jj = np.meshgrid(np.arange(nz), np.arange(nr), indexing="ij")
-    for k, (di, dj) in enumerate(OFFSETS):
+    for k, (di, dj) in enumerate(offsets_for(npts)):
         it, jt = ii + di, jj + dj
         ok = (it >= 0) & (it < nz) & (jt >= 0) & (jt < nr)
         rows.append((ii * nr + jj)[ok])
         cols.append((it * nr + jt)[ok])
         vals.append(C[k][ok])
     return (np.concatenate(rows), np.concatenate(cols), np.concatenate(vals))
+
+
+def sparse_to_stencil(A, shape: tuple[int, int], n_points: int = 9
+                      ) -> np.ndarray:
+    """scipy sparse (N, N) on the z-major flattened grid → (n_points, Nz, Nr)
+    stencil. Raises if any non-negligible entry falls outside the offset
+    pattern (a bilinear RAP product is provably 9-point; this guards it)."""
+    nz, nr = shape
+    A = A.tocoo()
+    offs = offsets_for(n_points)
+    ri, rj = A.row // nr, A.row % nr
+    di = (A.col // nr) - ri
+    dj = (A.col % nr) - rj
+    ks = np.full(len(A.data), -1, dtype=np.int64)
+    for k, (a, b) in enumerate(offs):
+        ks[(di == a) & (dj == b)] = k
+    outside = ks < 0
+    if outside.any():
+        scale = np.abs(A.data).max() or 1.0
+        bad = np.abs(A.data[outside]).max()
+        if bad > 1e-12 * scale:
+            raise ValueError(
+                f"{int(outside.sum())} entries outside the {n_points}-point "
+                f"pattern (max |v| {bad:.3e})")
+    C = np.zeros((n_points, nz, nr))
+    sel = ~outside
+    np.add.at(C, (ks[sel], ri[sel], rj[sel]), A.data[sel])
+    return C

@@ -100,6 +100,74 @@ def test_split_normal_fit_with_noise_and_nans():
     assert np.isfinite(err)
 
 
+def test_maxerr_fit_is_true_minimax():
+    """fit_method='maxerr' must beat the RMSE solution under the max-error
+    metric on asymmetric profiles, and match-or-beat the reference's
+    Powell implementation (scipy, ref gaussian_fit_analysis.py:91-96)."""
+    from scipy.optimize import minimize
+    rng = np.random.default_rng(4)
+    wins = 0
+    for trial in range(4):
+        r = np.linspace(-5e-6, 5e-6, 70)
+        true = (2e6 * (1 + trial), 0.3e-6, 0.8e-6, 2.6e-6, 40.0)
+        y = split_normal_function(r, *true)
+        # asymmetric, heavy-tailed perturbation so RMSE and minimax optima
+        # genuinely differ
+        y = y + 2e4 * np.sign(r - 1e-6) * (1 + np.abs(r) / 5e-6) \
+            + rng.standard_normal(len(r)) * 5e3
+
+        p_rmse, _ = fit_split_normal_to_profile(r, y, fit_method="rmse")
+        p_mx, err_mx = fit_split_normal_to_profile(r, y,
+                                                   fit_method="maxerr")
+        maxerr_of = lambda p: float(np.max(np.abs(
+            y - split_normal_function(r, *p))))
+        assert err_mx == pytest.approx(maxerr_of(p_mx), rel=1e-12)
+        assert err_mx <= maxerr_of(p_rmse) * (1 + 1e-9), \
+            f"minimax worse than RMSE solution: {err_mx:.6e} vs " \
+            f"{maxerr_of(p_rmse):.6e}"
+
+        # the reference's Powell search from the same coarse initial guesses
+        best_ref = np.inf
+        amp0 = abs(y.max() - y.min())
+        c0 = r[np.argmax(np.abs(y))]
+        s0 = np.std(r) / 4
+        for g in ([amp0, c0, s0, s0, y.min()],
+                  [-amp0, c0, s0, s0, y.min()]):
+            res = minimize(lambda p: np.max(np.abs(
+                y - split_normal_function(r, *p))), g, method="Powell")
+            best_ref = min(best_ref, float(res.fun))
+        if err_mx <= best_ref * (1 + 1e-6):
+            wins += 1
+    assert wins >= 3, f"beat Powell on only {wins}/4 asymmetric profiles"
+
+
+def test_analyze_fits_maxerr_mode(tmp_path):
+    """Whole-series maxerr mode: every timestep's maxerr <= the rmse-mode
+    solution's maxerr."""
+    from heatflow_tpu.analysis.radial import RadialGradientPlotter
+    from heatflow_tpu.io.csvio import write_gradient_csv
+    r = np.linspace(-4e-6, 4e-6, 50)
+    times = np.linspace(1e-7, 1e-6, 6)
+    rows = np.stack([
+        split_normal_function(r, -1e6 * (1 + t * 1e6), 0.2e-6,
+                              0.9e-6, 2.0e-6, 30.0)
+        + 1.5e4 * np.sign(r) for t in times])
+    path = str(tmp_path / "grad.csv")
+    write_gradient_csv(path, times, r, rows)
+    pl = RadialGradientPlotter(path)
+    res_m = analyze_split_normal_fits(pl, fit_method="maxerr")
+    res_r = analyze_split_normal_fits(pl, fit_method="rmse")
+    for i in range(len(times)):
+        pm = [res_m[k][i] for k in ("amplitudes", "centers", "sigma_lefts",
+                                    "sigma_rights", "offsets")]
+        pr = [res_r[k][i] for k in ("amplitudes", "centers", "sigma_lefts",
+                                    "sigma_rights", "offsets")]
+        me_m = np.max(np.abs(rows[i] - split_normal_function(r, *pm)))
+        me_r = np.max(np.abs(rows[i] - split_normal_function(r, *pr)))
+        assert me_m <= me_r * (1 + 1e-9)
+        assert res_m["rmse_values"][i] == pytest.approx(me_m, rel=1e-10)
+
+
 def test_split_normal_too_few_points():
     params, err = fit_split_normal_to_profile(
         np.array([0.0, 1.0]), np.array([1.0, np.nan]))

@@ -76,6 +76,59 @@ def test_prolong_reproduces_linear_fields(setup):
     np.testing.assert_allclose(got, ff, rtol=1e-12)
 
 
+def test_rap_coarse_operator_is_galerkin(setup):
+    """RAP coarse stencils equal the scipy triple product Pᵀ A P exactly,
+    per material."""
+    import scipy.sparse as sp
+    from heatflow_tpu.ops.multigrid import _axis_transfer_matrix
+    from heatflow_tpu.ops.stencil import stencil_to_coo
+    _, mesh, problem = setup
+    hier = build_hierarchy(mesh, problem.dirichlet_mask,
+                           stencils=problem.stencils, coarsening="rap")
+    fine, coarse = hier[0], hier[1]
+    n_f = fine.mesh.num_nodes
+    P = sp.kron(_axis_transfer_matrix(coarse.liz, coarse.wz,
+                                      len(coarse.mesh.z)),
+                _axis_transfer_matrix(coarse.lir, coarse.wr,
+                                      len(coarse.mesh.r))).tocsr()
+    for m in range(fine.K.shape[0]):
+        rows, cols, vals = stencil_to_coo(fine.K[m])
+        A_f = sp.coo_matrix((vals, (rows, cols)), shape=(n_f, n_f)).tocsr()
+        rap_ref = (P.T @ A_f @ P).toarray()
+        rows, cols, vals = stencil_to_coo(coarse.K[m])
+        n_c = coarse.mesh.num_nodes
+        got = sp.coo_matrix((vals, (rows, cols)),
+                            shape=(n_c, n_c)).toarray()
+        np.testing.assert_allclose(got, rap_ref, rtol=1e-12,
+                                   atol=1e-12 * np.abs(rap_ref).max())
+    # coarse stencils carry the full 9-point pattern
+    assert coarse.K.shape[1] == 9
+
+
+def test_vcycle_preconditioner_is_spd(setup):
+    """<vc(x), y> == <x, vc(y)> and <vc(x), x> > 0 — required for CG."""
+    _, mesh, problem = setup
+    hier = build_hierarchy(mesh, problem.dirichlet_mask,
+                           stencils=problem.stencils)
+    levels = device_levels(hier, jnp.float64)
+    kp = jnp.asarray(problem.kappas)
+    rc = jnp.asarray(problem.rho_cvs)
+    level_ops = []
+    for lv in levels:
+        A_l, _ = combine_operator(lv["K"], lv["M"], kp, rc, problem.dt)
+        level_ops.append({**lv, "A": A_l})
+    vc = make_vcycle(level_ops)
+    free = np.asarray(levels[0]["free"])
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(mesh.shape) * free)
+    y = jnp.asarray(rng.standard_normal(mesh.shape) * free)
+    vx, vy = vc(x), vc(y)
+    lhs = float(jnp.sum(vx * y))
+    rhs = float(jnp.sum(x * vy))
+    assert lhs == pytest.approx(rhs, rel=1e-10)
+    assert float(jnp.sum(vx * x)) > 0
+
+
 def test_vcycle_accelerates_cg(setup):
     """MG-PCG must reach tolerance in far fewer iterations than Jacobi-PCG
     and produce the same solution."""
