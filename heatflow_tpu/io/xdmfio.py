@@ -80,16 +80,81 @@ class XDMFTimeSeriesWriter:
         ET.ElementTree(xdmf).write(self.path, xml_declaration=True)
 
 
-def read_xdmf_timeseries(path: str):
-    """Return (times (S,), nodes (N,2), cells, fields (S,N))."""
-    h5path = os.path.splitext(path)[0] + ".h5"
-    with h5py.File(h5path, "r") as f:
-        times = f["times"][()]
-        nodes = f["mesh/geometry"][()][:, :2]
-        cells = f["mesh/topology"][()]
-        fields = np.stack([f[f"fields/step_{i:06d}"][()]
-                           for i in range(len(times))])
-    return times, nodes, cells, fields
+def read_xdmf_timeseries(path: str, field_name: str | None = None):
+    """Return (times (S,), nodes (N,2), cells, fields (S,N)).
+
+    XML-driven: the .xdmf index is parsed and every DataItem resolved
+    (Format='HDF' sidecar references or inline Format='XML' payloads), so
+    files written by this module, by dolfinx.io.XDMFFile, or by meshio's
+    TimeSeriesWriter all read through the same code path (the reference's
+    files are dolfinx/meshio-written, ref io_utilities/xdmf_extract.py:31-56).
+    ``field_name`` selects among multiple attributes (default: the first).
+    """
+    base = os.path.dirname(os.path.abspath(path))
+    root = ET.parse(path).getroot()
+    h5cache: dict[str, h5py.File] = {}
+
+    def h5file(fname):
+        if fname not in h5cache:
+            h5cache[fname] = h5py.File(os.path.join(base, fname), "r")
+        return h5cache[fname]
+
+    def read_item(el):
+        fmt = el.get("Format", "XML")
+        dims = [int(d) for d in el.get("Dimensions", "").split()]
+        if fmt.upper() in ("HDF", "HDF5"):
+            fname, hpath = el.text.strip().split(":", 1)
+            arr = h5file(os.path.basename(fname))[hpath][()]
+        elif fmt.upper() == "XML":
+            arr = np.array(el.text.split(), dtype=np.float64)
+            if el.get("NumberType", "Float") in ("Int", "UInt"):
+                arr = arr.astype(np.int64)
+        else:
+            raise ValueError(f"unsupported XDMF DataItem format {fmt!r}")
+        if dims:
+            arr = arr.reshape(dims)
+        return arr
+
+    def strip_ns(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    try:
+        geo_el = topo_el = None
+        times, fields = [], []
+        for el in root.iter():
+            if strip_ns(el.tag) == "Geometry" and geo_el is None:
+                geo_el = el.find("DataItem")
+            elif strip_ns(el.tag) == "Topology" and topo_el is None:
+                topo_el = el.find("DataItem")
+        if geo_el is None or topo_el is None:
+            raise ValueError(f"{path}: no Geometry/Topology DataItem found")
+        nodes = np.asarray(read_item(geo_el), dtype=np.float64)[:, :2]
+        cells = np.asarray(read_item(topo_el)).astype(np.int64)
+
+        for g in root.iter():
+            if strip_ns(g.tag) != "Grid":
+                continue
+            t_el = g.find("Time")
+            if t_el is None:
+                continue
+            atts = [a for a in g.findall("Attribute")]
+            if field_name is not None:
+                atts = [a for a in atts if a.get("Name") == field_name] \
+                    or atts  # tolerate name mismatches like the reference
+            if not atts:
+                continue
+            times.append(float(t_el.get("Value")))
+            fields.append(np.asarray(
+                read_item(atts[0].find("DataItem")), np.float64).ravel())
+    finally:
+        for f in h5cache.values():
+            f.close()
+
+    if not times:
+        raise ValueError(f"{path}: no timesteps found")
+    order = np.argsort(times)
+    return (np.asarray(times)[order], nodes, cells,
+            np.stack(fields)[order])
 
 
 def extract_point_timeseries_xdmf(xdmf_path: str, function_name: str,
@@ -100,8 +165,8 @@ def extract_point_timeseries_xdmf(xdmf_path: str, function_name: str,
     returns (times (S,), data (n_points, S)); 'nearest' uses nearest vertex,
     'linear' barycentric interpolation.
     """
-    times, nodes, _cells, fields = read_xdmf_timeseries(xdmf_path)
-    del function_name  # single-field files; kept for API parity
+    times, nodes, _cells, fields = read_xdmf_timeseries(
+        xdmf_path, field_name=function_name)
     qp = np.asarray(query_points, dtype=float)
     if method == "nearest":
         d2 = ((nodes[None, :, :] - qp[:, None, :]) ** 2).sum(-1)
