@@ -198,6 +198,85 @@ def cg_vmem(C: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
     )(C, b, x0)
 
 
+def fits_in_vmem_batched(nz: int, nr: int, dtype=jnp.float32) -> bool:
+    """Working set of the batched sweep kernel: shared A0+K_var (14 planes),
+    the per-config combined operator (7), and ~6 solution-sized vectors."""
+    bytes_per = jnp.dtype(dtype).itemsize
+    return (14 + 7 + 6) * nz * nr * bytes_per < VMEM_BUDGET
+
+
+def _sweep_cg_kernel(dk_ref, A0_ref, Kv_ref, sm_ref, b_ref, x0_ref, x_ref,
+                     *, iters: int):
+    """One grid step = the whole CG solve for one sweep config.
+
+    The shared base stencils A0/K_var live in VMEM across all grid steps
+    (their block index is constant, so Pallas keeps them resident); the
+    per-config operator A0 + dk·K_var is combined on-chip, and the solve
+    runs on the symmetrically-scaled system sm·A·sm (sm passed per config:
+    rsqrt(diag)·free, so Dirichlet dofs are annihilated)."""
+    b_idx = pl.program_id(0)
+    dk = dk_ref[b_idx]
+    C = A0_ref[:] + dk * Kv_ref[:]
+    sm = sm_ref[0]
+    b = b_ref[0]
+    x = x0_ref[0]
+
+    def apply_op(y):
+        return sm * _apply7(C, sm * y)
+
+    r = b - apply_op(x)
+    p = r
+    rz = jnp.sum(r * r)
+
+    def body(_k, state):
+        x, r, p, rz = state
+        Ap = apply_op(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rz_new = jnp.sum(r * r)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = r + beta * p
+        return (x, r, p, rz_new)
+
+    x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    x_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
+                    sm: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray, *,
+                    iters: int = 100, interpret: bool = False):
+    """Batched per-config VMEM CG for the sweep engine (grid over configs).
+
+    A0/Kv: (7, Nz, Nr) shared stencils; dks: (B,) per-config dt·Δκ;
+    sm: (B, Nz, Nr) per-config rsqrt(diag)·free; b/x0: (B, Nz, Nr) scaled
+    RHS / initial guess (must vanish at constrained dofs). Returns x with
+    the same trajectory as ``pcg_fixed`` on sm·(A0+dk·Kv)·sm.
+    """
+    B, nz, nr = b.shape
+    per_cfg = pl.BlockSpec((1, nz, nr), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    shared = pl.BlockSpec((7, nz, nr), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_sweep_cg_kernel, iters=iters),
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, nz, nr), b.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  shared, shared, per_cfg, per_cfg, per_cfg],
+        out_specs=per_cfg,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET),
+        cost_estimate=pl.CostEstimate(
+            flops=B * iters * 24 * nz * nr,
+            bytes_accessed=(14 + 4 * B) * nz * nr * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(dks, A0, Kv, sm, b, x0)
+
+
 def masked_scaled_operator(A: jnp.ndarray, free: jnp.ndarray):
     """Prepare the kernel's operator: symmetric Jacobi scaling + exact
     Dirichlet row/column elimination baked into the coefficients.

@@ -30,7 +30,8 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                   dtype=jnp.float32, rtol: float = 1e-6,
                   maxiter: int = 4000, fixed_iters: int | None = None,
                   precondition: str = "jacobi",
-                  num_steps: int | None = None, mesh=None):
+                  num_steps: int | None = None, mesh=None,
+                  solver: str = "xla"):
     """Build simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces
     (B, S, W). vmappable/shardable along B; differentiable in both inputs.
 
@@ -45,6 +46,13 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     pool, ref parameter_sweep.py:436-446) — and, when the grid divides, the
     field's z axis over 'z' with XLA-inserted halo exchange. Batch size must
     be a multiple of the 'config' axis size (callers pad).
+
+    ``solver='vmem'``: per-config VMEM-resident Pallas CG solves
+    (ops.pallas_cg.cg_vmem_batched — the XLA path re-reads the operator
+    from HBM every CG iteration; the Pallas grid keeps the shared stencils
+    and the whole solve on-chip). Requires ``fixed_iters``; the trajectory
+    matches the XLA path's ``pcg_fixed`` exactly. Runs in interpreter mode
+    off-TPU so CPU tests cover the same kernel.
     """
     dev = problem.device_arrays(dtype)
     num_steps = int(problem.num_steps if num_steps is None else num_steps)
@@ -126,10 +134,60 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         u_fin, traces = jax.lax.scan(step, u0, ts)
         return traces, u_fin
 
-    _batched = lambda ops, ks, fs: jax.vmap(
-        lambda k, f: one_config(ops, k, f)[0])(ks, fs)
-    _batched_seg = lambda ops, ks, fs, u0, t0: jax.vmap(
-        lambda k, f, u: one_config(ops, k, f, u, t0))(ks, fs, u0)
+    def batched_vmem(ops, ks, fs, u0, t0):
+        """Whole-batch scan with the per-config Pallas VMEM solver."""
+        from heatflow_tpu.ops.pallas_cg import cg_vmem_batched
+        interpret = jax.default_backend() != "tpu"
+        free, dirich = ops["free"], ops["dirich"]
+        dks = (jnp.asarray(ks, dtype) - base_k) * dt
+        diag = ops["A0"][0][None] + dks[:, None, None] * ops["K_var"][0][None]
+        s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
+        sm = s * free
+        amp_offset = ops["heat_T"][0] - ic
+        coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) \
+            / (jnp.asarray(fs, dtype) ** 2)
+        profiles = jnp.exp(coeff[:, None, None] * ops["r_sq"][None]) \
+            * ops["base"][None]
+        apply_Ab = jax.vmap(lambda dk, v: apply_stencil(ops["A0"], v)
+                            + dk * apply_stencil(ops["K_var"], v))
+        apply_Mb = jax.vmap(lambda v: apply_stencil(ops["M_op"], v))
+
+        def step(U, t):
+            amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
+            G = ic * dirich + (amp - ic) * profiles
+            Bv = (apply_Mb(U) - apply_Ab(dks, G)) * sm
+            Y0 = U / s * free
+            X = cg_vmem_batched(ops["A0"], ops["K_var"], dks, sm, Bv, Y0,
+                                iters=fixed_iters, interpret=interpret)
+            U = X * sm + G
+            return U, U.reshape(U.shape[0], -1)[:, ops["watch"]]
+
+        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt \
+            + jnp.asarray(t0, dtype)
+        u_fin, traces = jax.lax.scan(step, jnp.asarray(u0, dtype), ts)
+        return jnp.swapaxes(traces, 0, 1), u_fin
+
+    if solver == "vmem":
+        if fixed_iters is None:
+            raise ValueError("solver='vmem' needs fixed_iters (the whole "
+                             "solve is one on-chip kernel)")
+        if mesh is not None:
+            raise ValueError("solver='vmem' does not compose with mesh "
+                             "sharding yet")
+        if precondition != "jacobi":
+            raise ValueError("solver='vmem' implies the scaled-Jacobi path")
+
+        def _batched(ops, ks, fs):
+            B = len(ks)
+            u0 = jnp.full((B, nz, nr), ic, dtype)
+            return batched_vmem(ops, ks, fs, u0, 0.0)[0]
+
+        _batched_seg = batched_vmem
+    else:
+        _batched = lambda ops, ks, fs: jax.vmap(
+            lambda k, f: one_config(ops, k, f)[0])(ks, fs)
+        _batched_seg = lambda ops, ks, fs, u0, t0: jax.vmap(
+            lambda k, f, u: one_config(ops, k, f, u, t0))(ks, fs, u0)
 
     if mesh is None:
         batched = jax.jit(_batched)
@@ -189,7 +247,8 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
                            fixed_iters: int | None = None,
                            rtol: float = 1e-5, maxiter: int = 4000,
                            precondition: str = "jacobi",
-                           verbose: bool = False, mesh=None):
+                           verbose: bool = False, mesh=None,
+                           solver: str = "xla"):
     """Run the full transient for a (possibly very large) batch with bounded
     device-call durations: the whole batch stays resident while time is
     integrated chunk by chunk. Returns traces (B, num_steps, W).
@@ -200,7 +259,7 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     chunk_len = min(step_chunk, total)
     fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
                        rtol=rtol, maxiter=maxiter, precondition=precondition,
-                       num_steps=chunk_len, mesh=mesh)
+                       num_steps=chunk_len, mesh=mesh, solver=solver)
     sample_k = np.asarray(sample_k)
     fwhm = np.asarray(fwhm)
     B = len(sample_k)

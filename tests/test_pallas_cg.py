@@ -77,3 +77,75 @@ def test_masked_scaled_operator_identity(system):
     rhs = s * free * apply_stencil(A, s * free * v) + (1 - free) * v
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=1e-12,
                                atol=1e-12 * float(jnp.abs(rhs).max()))
+
+
+# ----------------------------------------------------------------------
+# batched per-config sweep kernel (VERDICT r1 item 4)
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sweep_setup(tmp_path_factory):
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+    from tests.fixtures import synthetic_heating
+    root = tmp_path_factory.mktemp("pall")
+    heat_csv = root / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 4
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    heating = HeatingCurve.from_csv(str(heat_csv))
+    return build_problem(mesh, heating, cfg,
+                         watcher_points={"p": (0.0, 0.0), "o": (1e-6, 0.0)})
+
+
+def test_cg_vmem_batched_matches_pcg_fixed(system):
+    """Per-config kernel trajectories equal the XLA pcg_fixed trajectories
+    on the same scaled operators."""
+    from heatflow_tpu.ops.cg import pcg_fixed
+    from heatflow_tpu.ops.pallas_cg import cg_vmem_batched
+    A, sm, free, b, x_true = system
+    Kv = 0.05 * A                       # any symmetric perturbation stencil
+    dks = jnp.asarray([0.0, 0.3, -0.2])
+    B = len(dks)
+    bb = jnp.stack([b, 1.5 * b, 0.7 * b])
+    smb = jnp.stack([sm] * B)
+    x = cg_vmem_batched(A, Kv, dks, smb, bb, jnp.zeros_like(bb),
+                        iters=40, interpret=True)
+    for i in range(B):
+        Ai = A + dks[i] * Kv
+        apply_s = lambda y: sm * apply_stencil(Ai, sm * y)
+        ref = pcg_fixed(apply_s, bb[i], jnp.zeros_like(b), mask=free,
+                        iters=40).x
+        np.testing.assert_allclose(np.asarray(x[i]), np.asarray(ref),
+                                   rtol=1e-8, atol=1e-8)
+
+
+def test_sweep_fn_vmem_matches_xla(sweep_setup):
+    """make_sweep_fn(solver='vmem') equals the XLA path exactly (same
+    fixed-iteration trajectories), incl. the time-chunked runner."""
+    from heatflow_tpu.sim.sweepkernel import (make_sweep_fn,
+                                              run_sweep_time_chunked)
+    problem = sweep_setup
+    ks = np.array([2.0, 3.8, 7.0])
+    fs = np.array([5e-6, 6e-6, 8e-6])
+    ref = np.asarray(make_sweep_fn(problem, dtype=jnp.float64,
+                                   fixed_iters=30)(ks, fs))
+    got = np.asarray(make_sweep_fn(problem, dtype=jnp.float64,
+                                   fixed_iters=30, solver="vmem")(ks, fs))
+    np.testing.assert_allclose(got, ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+    ch = run_sweep_time_chunked(problem, ks, fs, step_chunk=3,
+                                fixed_iters=30, dtype=jnp.float64,
+                                solver="vmem")
+    np.testing.assert_allclose(ch, ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+
+def test_sweep_fn_vmem_requires_fixed_iters(sweep_setup):
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    with pytest.raises(ValueError, match="fixed_iters"):
+        make_sweep_fn(sweep_setup, solver="vmem")
