@@ -55,17 +55,41 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-def _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout):
+def _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout,
+                  mesh_style="structured"):
     """Build-or-load the mesh, persisting/consuming mesh.msh + mesh_cfg.yaml
-    exactly like the reference (ref run_no_diamond.py:140-180)."""
+    exactly like the reference (ref run_no_diamond.py:140-180).
+
+    mesh_style: 'structured' (graded tensor grid, the TPU-native default) or
+    'unstructured' (graded non-grid triangulation — the analogue of the
+    reference's gmsh meshes, ref mesh_and_materials/mesh.py:81-149; runs
+    through the ELL operator path)."""
     mesh_cfg_path = os.path.join(mesh_folder, "mesh_cfg.yaml")
     mesh_file_path = os.path.join(mesh_folder, "mesh.msh")
     domain, mats = build_layout(cfg, layout)
 
     if rebuild_mesh:
-        mesh = build_structured_mesh(domain, mats)
         os.makedirs(mesh_folder, exist_ok=True)
         mesh_cfg = copy.deepcopy(cfg)
+        if mesh_style == "unstructured":
+            from heatflow_tpu.mesh.unstructured_gen import \
+                build_unstructured_mesh
+            umesh = build_unstructured_mesh(domain, mats)
+            mesh_cfg["material_tags"] = dict(umesh.material_tags)
+            # no structured_grid key → reloads through the import path
+            with open(mesh_cfg_path, "w") as f:
+                yaml.safe_dump(mesh_cfg, f)
+            write_msh(mesh_file_path, umesh.nodes, umesh.cells,
+                      umesh.cell_tags, umesh.material_tags)
+            if umesh.grid_overlay is not None:
+                # lattice sidecar → the TPU-fast 9-point stencil path
+                np.savez(os.path.join(mesh_folder, "mesh_overlay.npz"),
+                         shape=np.asarray(umesh.grid_overlay["shape"]),
+                         index=umesh.grid_overlay["index"])
+            return umesh
+        if mesh_style != "structured":
+            raise ValueError(f"unknown mesh_style {mesh_style!r}")
+        mesh = build_structured_mesh(domain, mats)
         mesh_cfg["material_tags"] = dict(mesh.material_tags)
         mesh_cfg["structured_grid"] = mesh.to_meta()
         with open(mesh_cfg_path, "w") as f:
@@ -84,11 +108,17 @@ def _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout):
         mesh_cfg = yaml.safe_load(f)
     if "structured_grid" not in mesh_cfg:
         # externally produced mesh (e.g. the reference's gmsh output):
-        # import and run through the unstructured ELL path
+        # import and run through the unstructured path (grid-overlay
+        # stencil when a lattice sidecar exists, ELL otherwise)
         from heatflow_tpu.mesh.msh_io import read_msh
         umesh = read_msh(mesh_file_path)
         if not umesh.material_tags:
             umesh.material_tags = dict(mesh_cfg.get("material_tags", {}))
+        overlay_path = os.path.join(mesh_folder, "mesh_overlay.npz")
+        if os.path.isfile(overlay_path):
+            with np.load(overlay_path) as ov:
+                umesh.grid_overlay = {"shape": tuple(ov["shape"]),
+                                      "index": ov["index"]}
         return umesh
     return mesh_from_meta(mesh_cfg["structured_grid"], materials=mats)
 
@@ -98,7 +128,7 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                    suppress_print=False, *, layout="auto", dtype=None,
                    rtol=None, maxiter=20000, record_gradient=True,
                    solver="xla", profile_dir=None, resume_from=None,
-                   write_checkpoint=True):
+                   write_checkpoint=True, mesh_style="structured"):
     """Run the 2D transient simulation. See module docstring for outputs.
 
     watcher_points: dict name -> (z, r), or list of {'name','coords'} dicts
@@ -113,7 +143,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             # 1e-4 keeps f32 traces at the f32 noise floor (BENCHMARKS.md)
             rtol = 1e-11 if dtype == jnp.float64 else 1e-4
 
-        mesh = _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout)
+        mesh = _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout,
+                             mesh_style)
         if visualize_mesh:
             from heatflow_tpu.mesh.viz import plot_mesh
             png = os.path.join(mesh_folder, "mesh_visualization.png")
@@ -238,8 +269,11 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
     if solver == "vmem":
         raise ValueError("solver='vmem' (Pallas VMEM CG) supports the "
                          "structured stencil path only; use 'xla' or 'auto'")
+    form = ("grid-overlay 9-point stencil"
+            if getattr(umesh, "grid_overlay", None) is not None else
+            "ELL gather")
     print(f"Imported unstructured mesh: {len(umesh.nodes)} nodes, "
-          f"{len(umesh.cells)} triangles (ELL operator path)")
+          f"{len(umesh.cells)} triangles ({form} operator path)")
     heating = HeatingCurve.from_csv(cfg["heating"]["file"])
     if isinstance(watcher_points, list):
         watcher_points = {pt["name"]: tuple(pt["coords"])
@@ -310,6 +344,10 @@ def main(argv=None):
     p.add_argument("--suppress-print", action="store_true")
     p.add_argument("--layout", choices=["auto", "no_diamond", "with_diamond"],
                    default="auto")
+    p.add_argument("--mesh-style", choices=["structured", "unstructured"],
+                   default="structured",
+                   help="'unstructured': graded non-grid triangulation (the "
+                        "gmsh-mesh analogue, runs through the ELL path)")
     p.add_argument("--solver", choices=["xla", "vmem", "auto"],
                    default="xla",
                    help="'vmem'/'auto': VMEM-resident Pallas CG on TPU")
@@ -330,7 +368,7 @@ def main(argv=None):
                    args.visualize_mesh, args.output_folder, wp,
                    args.write_xdmf, args.suppress_print, layout=args.layout,
                    solver=args.solver, profile_dir=args.profile_dir,
-                   resume_from=args.resume)
+                   resume_from=args.resume, mesh_style=args.mesh_style)
 
 
 if __name__ == "__main__":

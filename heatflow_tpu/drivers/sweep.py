@@ -125,8 +125,19 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         mesh_w = _prepare_mesh(cfg_w, mesh_folder, rebuild, "auto")
         heating = HeatingCurve.from_csv(cfg_w["heating"]["file"])
         wp = coupler_watcher_points(cfg_w)
-        problem = build_problem(mesh_w, heating, cfg_w, watcher_points=wp)
-        sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh)
+        from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+        if isinstance(mesh_w, UnstructuredMesh):
+            # imported / generated non-grid mesh → ELL sweep kernel
+            # (config-axis sharding not composed with the ELL path yet)
+            from heatflow_tpu.sim.unstructured import (
+                build_problem_unstructured, make_sweep_fn_unstructured)
+            problem = build_problem_unstructured(mesh_w, heating, cfg_w,
+                                                 watcher_points=wp)
+            sweep_fn = make_sweep_fn_unstructured(problem, dtype=dtype)
+        else:
+            problem = build_problem(mesh_w, heating, cfg_w,
+                                    watcher_points=wp)
+            sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])

@@ -18,12 +18,21 @@ import numpy as np
 
 @dataclass
 class UnstructuredMesh:
-    """Generic imported mesh: nodes + simplices + per-cell physical tags."""
+    """Generic imported mesh: nodes + simplices + per-cell physical tags.
+
+    grid_overlay: optional TPU acceleration metadata — when the mesh
+    *topology* embeds in a 2D lattice (irregular node positions and mixed
+    diagonals are fine), {"shape": (nzg, nrg), "index": (N,) flat lattice id
+    per node}. The assembled operator then converts to a permuted 9-point
+    stencil (ops/overlay.py): shifted multiply-adds instead of gathers,
+    which TPUs cannot vectorize. Persisted as a mesh_overlay.npz sidecar.
+    """
 
     nodes: np.ndarray               # (N, 2) (z, r)
     cells: np.ndarray               # (M, 3) triangles (or (M, 2) lines in 1D)
     cell_tags: np.ndarray           # (M,)
     material_tags: dict[str, int] = field(default_factory=dict)
+    grid_overlay: dict | None = None
 
     @property
     def dim(self) -> int:

@@ -107,18 +107,22 @@ def perturb_structured_mesh(mesh: StructuredMesh, *, jitter: float = 0.25,
             f"perturbation produced {int((det <= 0).sum())} degenerate or "
             f"inverted triangles (min det {det.min():.3e}); lower jitter")
 
+    lattice = np.arange(nz * nr, dtype=np.int64)   # node n sits at lattice n
     if shuffle:
         node_perm = rng.permutation(len(nodes))
         inv = np.empty_like(node_perm)
         inv[node_perm] = np.arange(len(nodes))
         nodes = nodes[node_perm]
         tris = inv[tris]
+        lattice = lattice[node_perm]
         cell_perm = rng.permutation(len(tris))
         tris, tags = tris[cell_perm], tags[cell_perm]
 
     return UnstructuredMesh(nodes=nodes, cells=tris.astype(np.int32),
                             cell_tags=tags,
-                            material_tags=dict(mesh.material_tags))
+                            material_tags=dict(mesh.material_tags),
+                            grid_overlay={"shape": (nz, nr),
+                                          "index": lattice})
 
 
 def build_unstructured_mesh(domain_bounds, materials: list[MaterialSpec], *,

@@ -46,42 +46,45 @@ class EllOps:
         }
 
 
-def _coo_to_ell(n, rows, cols, vals_list):
-    """Convert shared-sparsity COO triplets (several value arrays) to ELL."""
-    order = np.lexsort((cols, rows))
-    rows, cols = rows[order], cols[order]
-    vals_list = [v[order] for v in vals_list]
-    # unique (row, col) with summed duplicates
+def _ell_structure(n, rows, cols):
+    """Shared ELL structure for COO triplets: (cols_ell (n, Kmax), inv
+    (nnz_raw,) entry→unique-slot map, u_rows, slot, n_unique). Value arrays
+    are then reduced with np.bincount(inv, weights=...) — far faster than
+    np.add.at on large meshes."""
     key = rows.astype(np.int64) * n + cols
     uniq, inv = np.unique(key, return_inverse=True)
     u_rows = (uniq // n).astype(np.int64)
     u_cols = (uniq % n).astype(np.int32)
-    summed = []
-    for v in vals_list:
-        s = np.zeros(len(uniq), dtype=v.dtype)
-        np.add.at(s, inv, v)
-        summed.append(s)
-
     counts = np.bincount(u_rows, minlength=n)
     Kmax = int(counts.max())
-    slot = np.zeros(len(uniq), dtype=np.int64)
-    # position within each row (u_rows is sorted)
     start = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=start[1:])
     slot = np.arange(len(uniq)) - start[u_rows]
-
     cols_ell = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, Kmax))
-    out_vals = [np.zeros((n, Kmax), dtype=v.dtype) for v in summed]
     cols_ell[u_rows, slot] = u_cols
-    for o, s in zip(out_vals, summed):
+    return cols_ell, inv, u_rows, slot, len(uniq)
+
+
+def _coo_to_ell(n, rows, cols, vals_list):
+    """Convert shared-sparsity COO triplets (several value arrays) to ELL."""
+    cols_ell, inv, u_rows, slot, nuniq = _ell_structure(n, rows, cols)
+    out_vals = []
+    for v in vals_list:
+        s = np.bincount(inv, weights=v, minlength=nuniq)
+        o = np.zeros((n, cols_ell.shape[1]), dtype=v.dtype)
         o[u_rows, slot] = s
+        out_vals.append(o)
     return cols_ell, out_vals
 
 
 def assemble_ell(nodes: np.ndarray, tris: np.ndarray, tri_tags: np.ndarray,
                  n_mats: int) -> EllOps:
     """Assemble per-material K/M plus G_r and M_proj in one shared-sparsity
-    ELL structure (exact closed-form P1 integrals, ops/p1.py)."""
+    ELL structure (exact closed-form P1 integrals, ops/p1.py).
+
+    Per-material reductions run over each material's own triangle subset
+    only (bincount over precomputed slots) — O(nnz) total instead of
+    O(n_mats × nnz)."""
     coords = nodes[tris]                          # (M, 3, 2)
     Ke = p1.tri_stiffness_rw(coords)
     Me = p1.tri_mass_rw(coords)
@@ -93,21 +96,26 @@ def assemble_ell(nodes: np.ndarray, tris: np.ndarray, tri_tags: np.ndarray,
 
     rows = np.repeat(tris, 3, axis=1).ravel()
     cols = np.tile(tris, (1, 3)).ravel()
-
-    vals = []
-    for elem in (Ke, Me, Kfe, Mfe):
-        for m in range(n_mats):
-            sel = (tri_tags == m + 1).astype(np.float64)[:, None, None]
-            vals.append((elem * sel).ravel())
-    vals.append(Ge.ravel())
-
     n = len(nodes)
-    cols_ell, out = _coo_to_ell(n, rows, cols, vals)
-    K_vals = np.stack(out[:n_mats])
-    M_vals = np.stack(out[n_mats:2 * n_mats])
-    Kf_vals = np.stack(out[2 * n_mats:3 * n_mats])
-    Mf_vals = np.stack(out[3 * n_mats:4 * n_mats])
-    G_vals = out[4 * n_mats]
+    cols_ell, inv, u_rows, slot, nuniq = _ell_structure(n, rows, cols)
+    Kmax = cols_ell.shape[1]
+
+    def reduce_subset(elem, tri_idx):
+        """Sum elem entries of the given triangles into an (n, Kmax) array."""
+        ent = (tri_idx[:, None] * 9 + np.arange(9)).ravel()
+        s = np.bincount(inv[ent], weights=elem[tri_idx].reshape(-1),
+                        minlength=nuniq)
+        o = np.zeros((n, Kmax))
+        o[u_rows, slot] = s
+        return o
+
+    all_tris = np.arange(len(tris))
+    by_tag = [np.where(tri_tags == m + 1)[0] for m in range(n_mats)]
+    K_vals = np.stack([reduce_subset(Ke, t) for t in by_tag])
+    M_vals = np.stack([reduce_subset(Me, t) for t in by_tag])
+    Kf_vals = np.stack([reduce_subset(Kfe, t) for t in by_tag])
+    Mf_vals = np.stack([reduce_subset(Mfe, t) for t in by_tag])
+    G_vals = reduce_subset(Ge, all_tris)
     return EllOps(cols=cols_ell, K_vals=K_vals, M_vals=M_vals, G_vals=G_vals,
                   Mp_vals=M_vals.sum(axis=0), Kf_vals=Kf_vals,
                   Mf_vals=Mf_vals)

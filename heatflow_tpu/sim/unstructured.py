@@ -143,6 +143,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     the enabler for gradient-based experimental fitting on imported meshes.
     """
     from heatflow_tpu.ops.cg import pcg_fixed, pcg_solve
+    from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
     nodes = problem.mesh.nodes
     n = len(nodes)
     dt = jnp.asarray(problem.dt, dtype)
@@ -153,49 +154,88 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     if proj_rtol is None:
         proj_rtol = rtol
 
-    # Large arrays enter the jitted core as ARGUMENTS, not closure constants
-    # (closure constants trigger XLA constant folding on big meshes).
-    dev = problem.ell.device_put(dtype)
+    # Grid-overlay fast path (ops/overlay.py): when the mesh topology embeds
+    # in a 2D lattice, the operators become permuted 9-point stencils — the
+    # TPU-fast form (gathers don't vectorize on TPU). All vectors live in
+    # lattice ordering inside the core; node ordering at the boundaries.
+    overlay = getattr(problem.mesh, "grid_overlay", None)
+    if overlay is not None:
+        from heatflow_tpu.ops.overlay import (ell_to_stencils,
+                                              validate_overlay)
+        idx_np, oshape = validate_overlay(n, overlay)
+        inv_np = np.argsort(idx_np)
+        stn = getattr(problem, "_overlay_stencils", None)
+        if stn is None:
+            stn = ell_to_stencils(problem.ell, overlay)
+            problem._overlay_stencils = stn
+        remap = lambda v: np.asarray(v)[inv_np]
+        node_ids = lambda ids: idx_np[np.asarray(ids)]
+        dev = {"K": jnp.asarray(stn["K"], dtype),
+               "M": jnp.asarray(stn["M"], dtype),
+               "G": jnp.asarray(stn["G"], dtype),
+               "Mp": jnp.asarray(stn["Mp"], dtype)}
+    else:
+        remap = lambda v: v
+        node_ids = lambda ids: np.asarray(ids)
+        # Large arrays enter the jitted core as ARGUMENTS, not closure
+        # constants (closure constants trigger XLA constant folding).
+        dev = problem.ell.device_put(dtype)
     dev.update({
-        "free": jnp.asarray(~problem.dirichlet, dtype),
-        "dirich": jnp.asarray(problem.dirichlet, dtype),
+        "free": jnp.asarray(remap(~problem.dirichlet), dtype),
+        "dirich": jnp.asarray(remap(problem.dirichlet), dtype),
         "heat_t": jnp.asarray(problem.heating.time, dtype),
         "heat_T": jnp.asarray(problem.heating.temp, dtype),
-        "r_sq": jnp.asarray(nodes[:, 1] ** 2, dtype),
-        "heat_f": jnp.asarray(problem.heat_mask, dtype),
+        "r_sq": jnp.asarray(remap(nodes[:, 1] ** 2), dtype),
+        "heat_f": jnp.asarray(remap(problem.heat_mask), dtype),
     })
+    if overlay is not None:
+        dev["to_node"] = jnp.asarray(idx_np)
+        dev["to_latt"] = jnp.asarray(inv_np)
     if has_watch:
-        dev["watch"] = jnp.asarray(problem.watcher_nodes)
+        dev["watch"] = jnp.asarray(node_ids(problem.watcher_nodes))
     if record_gradient:
         dev.update({
-            "band_nodes": jnp.asarray(problem.band_nodes),
+            "band_nodes": jnp.asarray(node_ids(problem.band_nodes)),
             "band_bins": jnp.asarray(problem.band_bins),
             "bin_counts": jnp.asarray(problem.bin_counts, dtype),
-            "axis_nodes": jnp.asarray(problem.axis_nodes),
+            "axis_nodes": jnp.asarray(node_ids(problem.axis_nodes)),
         })
 
     def _core(dev, kp, rc, fw, u0, t0, source):
-        cols = dev["cols"]
         free, dirich = dev["free"], dev["dirich"]
         heat_t, heat_T = dev["heat_t"], dev["heat_T"]
         amp_offset = heat_T[0] - ic
 
-        A_vals, M_vals = ell_combine(dev["K"], dev["M"], kp, rc, dt)
-        diag = (A_vals * dev["own"]).sum(-1)
-        s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
-        apply_A = lambda v: ell_apply(cols, A_vals, v)
-        apply_s = lambda y: s * apply_A(s * y)
+        if overlay is not None:
+            A9, M9 = combine_operator(dev["K"], dev["M"], kp, rc, dt)
+            rs = lambda C, v: apply_stencil(C, v.reshape(oshape)).ravel()
+            diag = A9[0].ravel()
+            apply_A = lambda v: rs(A9, v)
+            apply_M = lambda v: rs(M9, v)
+            apply_Mp = lambda v: rs(dev["Mp"], v)
+            apply_G = lambda v: rs(dev["G"], v)
+            Mp_diag = dev["Mp"][0].ravel()
+        else:
+            cols = dev["cols"]
+            A_vals, M_vals = ell_combine(dev["K"], dev["M"], kp, rc, dt)
+            diag = (A_vals * dev["own"]).sum(-1)
+            apply_A = lambda v: ell_apply(cols, A_vals, v)
+            apply_M = lambda v: ell_apply(cols, M_vals, v)
+            apply_Mp = lambda v: ell_apply(cols, dev["Mp"], v)
+            apply_G = lambda v: ell_apply(cols, dev["G"], v)
+            Mp_diag = (dev["Mp"] * dev["own"]).sum(-1)
 
-        Mp_diag = (dev["Mp"] * dev["own"]).sum(-1)
+        s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
+        apply_s = lambda y: s * apply_A(s * y)
         s_mp = jax.lax.rsqrt(jnp.where(Mp_diag > 0, Mp_diag, 1.0))
-        apply_mp_s = lambda y: s_mp * ell_apply(cols, dev["Mp"], s_mp * y)
+        apply_mp_s = lambda y: s_mp * apply_Mp(s_mp * y)
 
         coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fw * fw)
         profile = jnp.exp(coeff * dev["r_sq"]) * dev["heat_f"]
 
         # volumetric source: rhs += dt ∫ f φ r dx = dt (M_proj @ f)
         b_src = 0.0 if source is None \
-            else dt * ell_apply(cols, dev["Mp"], source)
+            else dt * apply_Mp(source)
 
         def bc_values(t):
             amp = jnp.interp(t, heat_t, heat_T) - amp_offset
@@ -204,7 +244,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         def step(carry, t):
             u_prev, gr_prev = carry
             g = bc_values(t)
-            b = (ell_apply(cols, M_vals, u_prev) + b_src - apply_A(g)) * s
+            b = (apply_M(u_prev) + b_src - apply_A(g)) * s
             y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
             if differentiable:
                 x = pcg_solve(apply_s, b * free, y0, mask=free, rtol=rtol,
@@ -223,7 +263,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
             if has_watch:
                 outs["watch"] = u[dev["watch"]]
             if record_gradient:
-                br = s_mp * ell_apply(cols, dev["G"], u)
+                br = s_mp * apply_G(u)
                 gsol = pcg(apply_mp_s, br, gr_prev / s_mp, rtol=proj_rtol,
                            maxiter=proj_maxiter)
                 gr = gsol.x * s_mp
@@ -257,7 +297,16 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         u0 = jnp.full((n,), ic, dtype) if u0 is None \
             else jnp.asarray(u0, dtype)
         src = None if source is None else jnp.asarray(source, dtype)
-        return jitted(dev, kp, rc, fw, u0, jnp.asarray(t0, dtype), src)
+        if overlay is not None:
+            # node ordering at the API boundary, lattice ordering inside
+            u0 = u0[dev["to_latt"]]
+            src = None if src is None else src[dev["to_latt"]]
+        ys = jitted(dev, kp, rc, fw, u0, jnp.asarray(t0, dtype), src)
+        if overlay is not None:
+            ys["final_u"] = ys["final_u"][dev["to_node"]]
+            if "field" in ys:
+                ys["field"] = ys["field"][:, dev["to_node"]]
+        return ys
 
     simulate.core = _core
     simulate.dev = dev

@@ -219,3 +219,41 @@ def test_unstructured_sweep_matches_per_config(perturbed):
         kp[2] = ks[i]
         single = np.asarray(fn(kappas=kp, fwhm=fs[i])["watch"])
         np.testing.assert_allclose(traces[i], single, rtol=1e-7, atol=1e-5)
+
+
+def test_overlay_stencil_path_matches_ell(perturbed):
+    """The grid-overlay 9-point stencil path (TPU-fast) and the ELL gather
+    path produce the same traces/fields on the same unstructured problem."""
+    import dataclasses
+    cfg, _domain, _mats, umesh, heating, problem = perturbed
+    assert umesh.grid_overlay is not None   # generator meshes carry it
+    fn_ov = make_simulate_fn_unstructured(problem, rtol=1e-12,
+                                          record_fields=True)
+    ys_ov = jax.tree.map(np.asarray, fn_ov())
+
+    bare = dataclasses.replace(umesh, grid_overlay=None)
+    prob_ell = build_problem_unstructured(
+        bare, heating, cfg, watcher_points=coupler_watcher_points(cfg))
+    fn_ell = make_simulate_fn_unstructured(prob_ell, rtol=1e-12,
+                                           record_fields=True)
+    ys_ell = jax.tree.map(np.asarray, fn_ell())
+
+    scale = np.abs(ys_ell["field"]).max()
+    assert np.abs(ys_ov["field"] - ys_ell["field"]).max() / scale < 1e-10
+    np.testing.assert_allclose(ys_ov["watch"], ys_ell["watch"], rtol=1e-9)
+    np.testing.assert_allclose(ys_ov["axis"], ys_ell["axis"], rtol=1e-6,
+                               atol=1e-8 * np.abs(ys_ell["axis"]).max())
+    np.testing.assert_allclose(ys_ov["final_u"], ys_ell["final_u"],
+                               rtol=1e-9)
+
+
+def test_overlay_rejected_on_wrong_topology(perturbed):
+    """A corrupted overlay (wrong lattice assignment) must be detected, not
+    silently produce a wrong operator."""
+    from heatflow_tpu.ops.overlay import ell_to_stencils
+    *_, problem = perturbed
+    n = len(problem.mesh.nodes)
+    bad = {"shape": problem.mesh.grid_overlay["shape"],
+           "index": np.roll(problem.mesh.grid_overlay["index"], 7)}
+    with pytest.raises(ValueError, match="9-point|bijection"):
+        ell_to_stencils(problem.ell, bad)
