@@ -266,9 +266,6 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
     from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
                                                make_simulate_fn_unstructured)
 
-    if solver == "vmem":
-        raise ValueError("solver='vmem' (Pallas VMEM CG) supports the "
-                         "structured stencil path only; use 'xla' or 'auto'")
     form = ("grid-overlay 9-point stencil"
             if getattr(umesh, "grid_overlay", None) is not None else
             "ELL gather")
@@ -292,7 +289,8 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
 
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter, rtol_wrt="r0",
-        record_gradient=record_gradient, record_fields=write_xdmf)
+        record_gradient=record_gradient, record_fields=write_xdmf,
+        solver=solver)
     t_loop = time.time()
     from heatflow_tpu.utils import profile_trace
     with profile_trace(profile_dir):

@@ -30,15 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def fits_in_vmem(nz: int, nr: int, dtype=jnp.float32) -> bool:
+def fits_in_vmem(nz: int, nr: int, dtype=jnp.float32,
+                 n_points: int = 7) -> bool:
     bytes_per = jnp.dtype(dtype).itemsize
-    working_set = (7 + 6) * nz * nr * bytes_per
+    working_set = (n_points + 6) * nz * nr * bytes_per
     return working_set < VMEM_BUDGET
 
 
 def _apply7(C_ref, u):
-    """7-point stencil apply on values, in-kernel: pad the operand once,
-    then take static shifted slices."""
+    """Stencil apply on values, in-kernel: pad the operand once, then take
+    static shifted slices. Handles the 7-point structured pattern and the
+    9-point grid-overlay pattern (plane count read statically from C)."""
     nz, nr = u.shape
     up = jnp.pad(u, ((1, 1), (1, 1)))
 
@@ -52,6 +54,9 @@ def _apply7(C_ref, u):
     out += C_ref[4] * sh(0, -1)
     out += C_ref[5] * sh(1, 1)
     out += C_ref[6] * sh(-1, -1)
+    if C_ref.shape[0] == 9:       # OFFSETS9 anti-diagonals (ops/stencil.py)
+        out += C_ref[7] * sh(1, -1)
+        out += C_ref[8] * sh(-1, 1)
     return out
 
 
@@ -256,9 +261,10 @@ def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     the same trajectory as ``pcg_fixed`` on sm·(A0+dk·Kv)·sm.
     """
     B, nz, nr = b.shape
+    npts = A0.shape[0]
     per_cfg = pl.BlockSpec((1, nz, nr), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    shared = pl.BlockSpec((7, nz, nr), lambda i: (0, 0, 0),
+    shared = pl.BlockSpec((npts, nz, nr), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_sweep_cg_kernel, iters=iters),

@@ -130,7 +130,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                   proj_rtol=None, proj_maxiter=400,
                                   record_gradient=True,
                                   record_fields=False, rtol_wrt="b",
-                                  differentiable=False):
+                                  differentiable=False, solver="xla"):
     """Build a jittable simulate(kappas, rho_cvs, fwhm, u0, t0, source) on the
     ELL operator path — same surface as the structured
     ``stepper.make_simulate_fn`` (parameter overrides default to the
@@ -159,6 +159,21 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     # TPU-fast form (gathers don't vectorize on TPU). All vectors live in
     # lattice ordering inside the core; node ordering at the boundaries.
     overlay = getattr(problem.mesh, "grid_overlay", None)
+    use_vmem = False
+    if solver in ("vmem", "auto"):
+        if overlay is None:
+            if solver == "vmem":
+                raise ValueError("solver='vmem' needs a grid-overlay mesh "
+                                 "(the VMEM kernel is stencil-form only)")
+        else:
+            from heatflow_tpu.ops.pallas_cg import fits_in_vmem
+            oshape0 = tuple(int(s) for s in overlay["shape"])
+            use_vmem = fits_in_vmem(*oshape0, dtype, n_points=9)
+            if solver == "vmem" and not use_vmem:
+                raise ValueError("problem exceeds the VMEM budget")
+            if solver == "auto" and (jax.default_backend() != "tpu"
+                                     or dtype != jnp.float32):
+                use_vmem = False  # the Pallas kernel is TPU-only, f32-only
     if overlay is not None:
         from heatflow_tpu.ops.overlay import (ell_to_stencils,
                                               validate_overlay)
@@ -251,6 +266,14 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                               maxiter=maxiter)
                 u = x * s * free + g
                 outs = {}
+            elif use_vmem:
+                from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
+                x2, iters = cg_vmem_tol(
+                    A9, (s * free).reshape(oshape),
+                    (b * free).reshape(oshape), y0.reshape(oshape), rtol,
+                    maxiter=maxiter, rtol_wrt=rtol_wrt)
+                u = x2.ravel() * s * free + g
+                outs = {"cg_iters": iters}
             else:
                 if fixed_iters is not None:
                     sol = pcg_fixed(apply_s, b * free, y0, mask=free,

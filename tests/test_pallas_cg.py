@@ -149,3 +149,32 @@ def test_sweep_fn_vmem_requires_fixed_iters(sweep_setup):
     from heatflow_tpu.sim.sweepkernel import make_sweep_fn
     with pytest.raises(ValueError, match="fixed_iters"):
         make_sweep_fn(sweep_setup, solver="vmem")
+
+
+def test_kernel_supports_9point_overlay_stencils(system):
+    """The VMEM kernel accepts 9-plane (grid-overlay RAP-pattern) operators;
+    trajectories match XLA CG on the same operator."""
+    from heatflow_tpu.ops.stencil import OFFSETS9, _shifted
+    A, sm, free, b, x_true = system
+    # extend to a symmetric 9-point operator: small anti-diagonal couplings
+    # scaled by the local diagonal (keeps SPD), the pattern of a
+    # mixed-diagonal overlay mesh. Symmetry: C8[i,j] = C7[i-1,j+1].
+    extra7 = -1e-3 * jnp.sqrt(jnp.abs(A[0] * _shifted(A[0], 1, -1)))
+    extra8 = _shifted(extra7, -1, 1)
+    A9 = jnp.concatenate([A, extra7[None], extra8[None]], axis=0)
+
+    def apply9(v):
+        out = A9[0] * v
+        for k, (di, dj) in enumerate(OFFSETS9[1:], start=1):
+            out = out + A9[k] * _shifted(v, di, dj)
+        return out
+
+    apply_s = lambda y: sm * apply9(sm * y)
+    b9 = sm * apply9(sm * x_true)
+    x, iters = cg_vmem_tol(A9, sm, b9, jnp.zeros_like(b9), 1e-12,
+                           maxiter=20000, interpret=True)
+    ref = pcg(apply_s, b9, jnp.zeros_like(b9), mask=free, rtol=1e-12,
+              maxiter=20000)
+    scale = np.abs(np.asarray(x_true)).max()
+    assert np.abs(np.asarray(x) - np.asarray(x_true)).max() / scale < 1e-8
+    assert abs(int(iters) - int(ref.iters)) <= 8  # blocked checks (8/blk)
