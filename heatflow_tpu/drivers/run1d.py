@@ -46,13 +46,18 @@ def _find_gradient_csv(mesh_folder_2d: str,
     ]
     names = [config_name] if config_name else []
     names.append("geballe_no_diamond_read_flux")  # ref hardcoded default
+    # named run dirs first — BOTH CSV kinds — so a raw CSV in this config's
+    # own run dir always outranks another run's smoothed CSV
     for fname in ("radial_gradient.csv", "radial_gradient_raw.csv"):
         for base in bases:
             for nm in names:
                 p = os.path.join(base, nm, fname)
                 if os.path.exists(p):
                     return p
-        for base in bases:  # fallback: any run dir with a gradient CSV
+    # last resort: any run dir holding a gradient CSV (the caller reports
+    # the full path so an unrelated run's gradients are visible)
+    for fname in ("radial_gradient.csv", "radial_gradient_raw.csv"):
+        for base in bases:
             if os.path.isdir(base):
                 for sub in sorted(os.listdir(base)):
                     p = os.path.join(base, sub, fname)
@@ -103,7 +108,7 @@ def run_1d(cfg, mesh_folder_2d, mesh_folder_1d=None, rebuild_mesh=False,
             else:
                 gradient = GradientTable.from_csv(path)
                 print(f"Radial heating correction: ENABLED "
-                      f"({os.path.basename(path)}, Δr={gradient.delta_r:.2e})")
+                      f"({path}, Δr={gradient.delta_r:.2e})")
                 if (z.min() < gradient.z.min() - 1e-15
                         or z.max() > gradient.z.max() + 1e-15):
                     print("WARNING: 1D mesh extends beyond gradient data "

@@ -106,6 +106,11 @@ def _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout,
             f"Missing required file(s) in {mesh_folder}: {', '.join(missing)}")
     with open(mesh_cfg_path) as f:
         mesh_cfg = yaml.safe_load(f)
+    if mesh_style == "unstructured" and "structured_grid" in mesh_cfg:
+        raise ValueError(
+            f"{mesh_folder} holds a structured mesh but "
+            "mesh_style='unstructured' was requested; pass rebuild_mesh=True "
+            "to regenerate it")
     if "structured_grid" not in mesh_cfg:
         # externally produced mesh (e.g. the reference's gmsh output):
         # import and run through the unstructured path (grid-overlay

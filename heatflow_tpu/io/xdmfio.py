@@ -104,7 +104,11 @@ def read_xdmf_timeseries(path: str, field_name: str | None = None):
         dims = [int(d) for d in el.get("Dimensions", "").split()]
         if fmt.upper() in ("HDF", "HDF5"):
             fname, hpath = el.text.strip().split(":", 1)
-            arr = h5file(os.path.basename(fname))[hpath][()]
+            # sidecar path is relative to the .xdmf (subdirs legal); fall
+            # back to the basename for absolute paths from other machines
+            if not os.path.exists(os.path.join(base, fname)):
+                fname = os.path.basename(fname)
+            arr = h5file(fname)[hpath][()]
         elif fmt.upper() == "XML":
             arr = np.array(el.text.split(), dtype=np.float64)
             if el.get("NumberType", "Float") in ("Int", "UInt"):
@@ -118,14 +122,23 @@ def read_xdmf_timeseries(path: str, field_name: str | None = None):
     def strip_ns(tag):
         return tag.rsplit("}", 1)[-1]
 
+    def children(el, name):
+        """Direct children by local tag name (namespace-agnostic, matching
+        the strip_ns element scan)."""
+        return [c for c in el if strip_ns(c.tag) == name]
+
+    def child(el, name):
+        cs = children(el, name)
+        return cs[0] if cs else None
+
     try:
         geo_el = topo_el = None
         times, fields = [], []
         for el in root.iter():
             if strip_ns(el.tag) == "Geometry" and geo_el is None:
-                geo_el = el.find("DataItem")
+                geo_el = child(el, "DataItem")
             elif strip_ns(el.tag) == "Topology" and topo_el is None:
-                topo_el = el.find("DataItem")
+                topo_el = child(el, "DataItem")
         if geo_el is None or topo_el is None:
             raise ValueError(f"{path}: no Geometry/Topology DataItem found")
         nodes = np.asarray(read_item(geo_el), dtype=np.float64)[:, :2]
@@ -134,10 +147,10 @@ def read_xdmf_timeseries(path: str, field_name: str | None = None):
         for g in root.iter():
             if strip_ns(g.tag) != "Grid":
                 continue
-            t_el = g.find("Time")
+            t_el = child(g, "Time")
             if t_el is None:
                 continue
-            atts = [a for a in g.findall("Attribute")]
+            atts = children(g, "Attribute")
             if field_name is not None:
                 atts = [a for a in atts if a.get("Name") == field_name] \
                     or atts  # tolerate name mismatches like the reference
@@ -145,7 +158,7 @@ def read_xdmf_timeseries(path: str, field_name: str | None = None):
                 continue
             times.append(float(t_el.get("Value")))
             fields.append(np.asarray(
-                read_item(atts[0].find("DataItem")), np.float64).ravel())
+                read_item(child(atts[0], "DataItem")), np.float64).ravel())
     finally:
         for f in h5cache.values():
             f.close()

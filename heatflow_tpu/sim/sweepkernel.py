@@ -176,6 +176,12 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                              "sharding yet")
         if precondition != "jacobi":
             raise ValueError("solver='vmem' implies the scaled-Jacobi path")
+        if jax.default_backend() == "tpu":
+            from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
+            if not fits_in_vmem_batched(nz, nr, dtype):
+                raise ValueError(
+                    f"sweep working set for a {nz}x{nr} grid exceeds the "
+                    "VMEM budget; use solver='xla'")
 
         def _batched(ops, ks, fs):
             B = len(ks)

@@ -160,6 +160,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     # lattice ordering inside the core; node ordering at the boundaries.
     overlay = getattr(problem.mesh, "grid_overlay", None)
     use_vmem = False
+    vmem_interpret = jax.default_backend() != "tpu"
     if solver in ("vmem", "auto"):
         if overlay is None:
             if solver == "vmem":
@@ -171,9 +172,12 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
             use_vmem = fits_in_vmem(*oshape0, dtype, n_points=9)
             if solver == "vmem" and not use_vmem:
                 raise ValueError("problem exceeds the VMEM budget")
-            if solver == "auto" and (jax.default_backend() != "tpu"
+            if solver == "vmem" and not vmem_interpret \
+                    and dtype != jnp.float32:
+                raise ValueError("the VMEM kernel is f32-only on TPU")
+            if solver == "auto" and (vmem_interpret
                                      or dtype != jnp.float32):
-                use_vmem = False  # the Pallas kernel is TPU-only, f32-only
+                use_vmem = False  # off-TPU / non-f32: use the XLA path
     if overlay is not None:
         from heatflow_tpu.ops.overlay import (ell_to_stencils,
                                               validate_overlay)
@@ -271,7 +275,8 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                 x2, iters = cg_vmem_tol(
                     A9, (s * free).reshape(oshape),
                     (b * free).reshape(oshape), y0.reshape(oshape), rtol,
-                    maxiter=maxiter, rtol_wrt=rtol_wrt)
+                    maxiter=maxiter, rtol_wrt=rtol_wrt,
+                    interpret=vmem_interpret)
                 u = x2.ravel() * s * free + g
                 outs = {"cg_iters": iters}
             else:
