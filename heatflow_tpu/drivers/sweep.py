@@ -64,7 +64,9 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         write_xdmf=False, suppress_print=True,
                         num_processes=None, *, dtype=None,
                         batch_size: int | None = None,
-                        save_run_dirs: bool = True, devices=None):
+                        save_run_dirs: bool = True, devices=None,
+                        solver: str = "xla",
+                        fixed_iters: int | None = None):
     """Run the sweep. ``num_processes`` is accepted for API parity and
     ignored — parallelism is the vmapped batch, sharded over ``devices``
     (default: all of ``jax.devices()``) along the batch axis; each device
@@ -75,7 +77,9 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                       else default_dtype())
     devs = list(devices) if devices is not None else jax.devices()
     mesh = None
-    if len(devs) > 1:
+    if len(devs) > 1 and solver != "vmem":
+        # the per-config VMEM kernel runs per chip; it does not compose
+        # with mesh sharding yet (sim/sweepkernel.make_sweep_fn)
         from heatflow_tpu.parallel.sharding import config_mesh
         mesh = config_mesh(devices=devs)
     n_conf = 1 if mesh is None else mesh.shape["config"]
@@ -137,7 +141,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
-            sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh)
+            sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
+                                     solver=solver, fixed_iters=fixed_iters)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])
@@ -218,8 +223,15 @@ def main(argv=None):
     p.add_argument("--num-points", type=int, nargs=3, default=[5, 5, 3])
     p.add_argument("--mesh-folder", type=str, default="meshes")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--solver", choices=["xla", "vmem"], default="xla",
+                   help="'vmem': per-config VMEM-resident Pallas CG "
+                        "(fastest on TPU; requires --fixed-iters)")
+    p.add_argument("--fixed-iters", type=int, default=None,
+                   help="fixed CG iterations per step (static control flow)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
+    if args.solver == "vmem" and args.fixed_iters is None:
+        p.error("--solver vmem requires --fixed-iters")
     if any(x <= 0 for x in args.num_points):
         p.error("Number of points must be positive")
     for rng_name in ("fwhm_range", "k_range", "width_range"):
@@ -230,7 +242,8 @@ def main(argv=None):
         args.config, args.output_dir, tuple(args.fwhm_range),
         tuple(args.k_range), tuple(args.width_range),
         tuple(args.num_points), base_mesh_folder=args.mesh_folder,
-        suppress_print=not args.verbose, batch_size=args.batch_size)
+        suppress_print=not args.verbose, batch_size=args.batch_size,
+        solver=args.solver, fixed_iters=args.fixed_iters)
 
 
 if __name__ == "__main__":

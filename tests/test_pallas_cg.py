@@ -178,3 +178,38 @@ def test_kernel_supports_9point_overlay_stencils(system):
     scale = np.abs(np.asarray(x_true)).max()
     assert np.abs(np.asarray(x) - np.asarray(x_true)).max() / scale < 1e-8
     assert abs(int(iters) - int(ref.iters)) <= 8  # blocked checks (8/blk)
+
+
+def test_sweep_driver_vmem_solver(sweep_setup, tmp_path, monkeypatch):
+    """run_parameter_sweep(solver='vmem') drives the Pallas sweep kernel
+    (interpreter mode on CPU) and matches the XLA driver run."""
+    import pandas as pd
+    import yaml
+    from heatflow_tpu.drivers.sweep import run_parameter_sweep
+    problem = sweep_setup
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg = dict(tiny_no_diamond_cfg(coarse=3.0))
+    from tests.fixtures import synthetic_heating
+    heat = tmp_path / "h.csv"
+    synthetic_heating(heat)
+    cfg["heating"]["file"] = str(heat)
+    cfg["timing"]["num_steps"] = 3
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    kwargs = dict(fwhm_range=(5e-6, 8e-6), k_range=(2.0, 7.0),
+                  width_range=(1.84e-6, 1.84e-6), num_points=(2, 2, 1),
+                  suppress_print=True, dtype=jnp.float64,
+                  devices=[jax.devices()[0]])
+    r_v, f_v = run_parameter_sweep(
+        str(cfg_path), str(tmp_path / "v"),
+        base_mesh_folder=str(tmp_path / "mv"),
+        solver="vmem", fixed_iters=25, **kwargs)
+    r_x, f_x = run_parameter_sweep(
+        str(cfg_path), str(tmp_path / "x"),
+        base_mesh_folder=str(tmp_path / "mx"),
+        fixed_iters=25, **kwargs)
+    assert len(r_v) == len(r_x) == 4 and not f_v and not f_x
+    for a, b in zip(r_v, r_x):
+        ta = pd.read_csv(f"{tmp_path}/v/{a['run_name']}/watcher_points.csv")
+        tb = pd.read_csv(f"{tmp_path}/x/{b['run_name']}/watcher_points.csv")
+        np.testing.assert_allclose(ta.to_numpy(), tb.to_numpy(), rtol=1e-9)

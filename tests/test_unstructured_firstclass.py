@@ -257,3 +257,33 @@ def test_overlay_rejected_on_wrong_topology(perturbed):
            "index": np.roll(problem.mesh.grid_overlay["index"], 7)}
     with pytest.raises(ValueError, match="9-point|bijection"):
         ell_to_stencils(problem.ell, bad)
+
+
+def test_steady_as_initial_condition_unstructured(perturbed):
+    """Steady solve → transient start on the unstructured path (the
+    notebooks' workflow, ref with_gasket.ipynb + space_and_forms.py:119-149):
+    starting AT the steady state of the t=0 boundary data, the first-step
+    temperature change is far smaller than from the cold uniform start."""
+    *_, problem = perturbed
+    ic = problem.ic_temp
+    coeff = gaussian_coeff(problem.fwhm)
+    profile = np.exp(coeff * problem.mesh.nodes[:, 1] ** 2) \
+        * problem.heat_mask.astype(float)
+    # heating amplitude at the first step, with the transient's amp-offset
+    # convention (ref run_no_diamond.py:299-309)
+    off = problem.heating.amplitude_offset(ic)
+    amp0 = float(np.interp(problem.dt, problem.heating.time,
+                           problem.heating.temp)) - off
+    bc = ic * problem.dirichlet.astype(float) + (amp0 - ic) * profile
+    u_steady, info = solve_steady_unstructured(problem, bc, weighted=True,
+                                               rtol=1e-12)
+    assert info["converged"]
+
+    fn = make_simulate_fn_unstructured(problem, rtol=1e-12,
+                                       record_gradient=False,
+                                       record_fields=True)
+    from_steady = np.asarray(fn(u0=u_steady)["field"][0])
+    from_cold = np.asarray(fn()["field"][0])
+    d_steady = np.abs(from_steady - u_steady).max()
+    d_cold = np.abs(from_cold - ic).max()
+    assert d_steady < 0.5 * d_cold
