@@ -57,3 +57,50 @@ def test_random_stack_invariants(seed):
     rows, cols, vals = stencil_to_coo(pack.M.sum(axis=0))
     expect = (mesh.z[-1] - mesh.z[0]) * mesh.r[-1] ** 2 / 2
     assert vals.sum() == pytest.approx(expect, rel=1e-10)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_random_stack_perturbed_overlay_invariants(seed):
+    """Random stacks through the non-grid generator: triangulation valid,
+    tags conform, overlay stencils EXACTLY equal the ELL operator (the
+    overlay conversion must be lossless on arbitrary layered geometry)."""
+    import scipy.sparse as sp
+    from heatflow_tpu.mesh.unstructured_gen import build_unstructured_mesh
+    from heatflow_tpu.ops.ell import assemble_ell
+    from heatflow_tpu.ops.overlay import ell_to_stencils
+    from heatflow_tpu.ops.stencil import stencil_to_coo
+
+    rng = np.random.default_rng(seed)
+    domain, mats = _random_stack(rng, int(rng.integers(2, 6)))
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=seed)
+    n = len(umesh.nodes)
+
+    # tags conform: centroids inside their material rectangles
+    cent = umesh.nodes[umesh.cells].mean(axis=1)
+    for m in mats:
+        tag = umesh.material_tags[m.name]
+        sel = umesh.cell_tags == tag
+        assert np.all(cent[sel, 0] >= m.bounds[0] - 1e-15)
+        assert np.all(cent[sel, 0] <= m.bounds[1] + 1e-15)
+
+    ell = assemble_ell(umesh.nodes, umesh.cells, umesh.cell_tags, len(mats))
+    stn = ell_to_stencils(ell, umesh.grid_overlay)
+    idx = np.asarray(umesh.grid_overlay["index"])
+
+    # overlay stencil == permuted ELL matrix, entry for entry
+    for m in range(len(mats)):
+        rows, cols, vals = stencil_to_coo(stn["K"][m])
+        K_ov = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        rows_e = np.repeat(np.arange(n), ell.cols.shape[1])
+        K_ell = sp.coo_matrix(
+            (ell.K_vals[m].ravel(), (idx[rows_e], idx[ell.cols.ravel()])),
+            shape=(n, n)).tocsr()
+        K_ell.sum_duplicates()
+        d = abs(K_ov - K_ell).max()
+        scale = max(np.abs(ell.K_vals[m]).max(), 1e-300)
+        assert d < 1e-12 * scale
+
+        # stiffness annihilates constants, symmetric
+        ones = np.ones(n)
+        assert np.abs(K_ov @ ones).max() < 1e-8 * scale
+        assert abs(K_ov - K_ov.T).max() < 1e-12 * scale
