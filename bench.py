@@ -64,9 +64,10 @@ def bench_tpu(problem, *, rtol=1e-3, maxiter=8000):
     # gradient projection, ref run_with_diamond.py:469-504) — benchmark the
     # same per-step work. rtol is relative to the warm-start residual (the
     # increment scale); solver='auto' engages the VMEM-resident Pallas CG
-    # when the mesh fits on-chip. Trace error vs the f64 ground truth stays
-    # within the f32 noise floor (~0.03-0.3 K on the o-side) — comparable
-    # answer quality to the reference's direct solve.
+    # when the mesh fits on-chip. Accuracy at this rtol vs the f64 ground
+    # truth: final watchers ~0.1 K, mid-transient trace peak ~3 K (3.5e-2
+    # of the o-side range) — the measured speed/accuracy point; tighter
+    # rtol buys accuracy per the curve in BENCHMARKS.md.
     fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
                           maxiter=maxiter, record_gradient=False,
                           record_fields=False, rtol_wrt="r0",
