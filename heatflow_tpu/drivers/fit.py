@@ -68,8 +68,13 @@ def fit_parameters(problem: Problem2D, *, k_range=(1.0, 100.0),
                    fwhm_range=(1e-6, 1e-4), coarse=(8, 6), n_starts: int = 3,
                    adam_steps: int = 60, lr: float = 0.05,
                    dtype=jnp.float64, rtol: float = 1e-10,
-                   verbose: bool = False) -> FitResult:
-    """Coarse sweep + parallel Adam refinement in log space."""
+                   verbose: bool = False,
+                   coarse_chunk: int = 8) -> FitResult:
+    """Coarse sweep + parallel Adam refinement in log space.
+
+    Device calls are kept bounded (coarse sweep chunked by ``coarse_chunk``
+    configs; one Adam step per call) — this environment's TPU relay aborts
+    single calls running past ~a minute."""
     obj = experimental_objective(problem, dtype=dtype, rtol=rtol)
 
     ks = np.logspace(np.log10(k_range[0]), np.log10(k_range[1]), coarse[0])
@@ -77,8 +82,16 @@ def fit_parameters(problem: Problem2D, *, k_range=(1.0, 100.0),
                      coarse[1])
     KK, FF = np.meshgrid(ks, fs, indexing="ij")
     flat_k, flat_f = KK.ravel(), FF.ravel()
-    sweep_rmse = np.asarray(obj.batch(jnp.asarray(flat_k),
-                                      jnp.asarray(flat_f)))
+    n_pts = len(flat_k)
+    pad = (-n_pts) % coarse_chunk      # pad → one compiled chunk shape
+    pk = np.concatenate([flat_k, np.repeat(flat_k[-1:], pad)])
+    pf = np.concatenate([flat_f, np.repeat(flat_f[-1:], pad)])
+    pieces = []
+    for sidx in range(0, len(pk), coarse_chunk):
+        r = obj.batch(jnp.asarray(pk[sidx:sidx + coarse_chunk]),
+                      jnp.asarray(pf[sidx:sidx + coarse_chunk]))
+        pieces.append(np.asarray(r))
+    sweep_rmse = np.concatenate(pieces)[:n_pts]
     order = np.argsort(np.where(np.isfinite(sweep_rmse), sweep_rmse, np.inf))
     starts = order[:n_starts]
     if verbose:
@@ -100,32 +113,34 @@ def fit_parameters(problem: Problem2D, *, k_range=(1.0, 100.0),
     grad_fn = jax.value_and_grad(loss)
 
     @jax.jit
-    def refine(params0):
-        state0 = opt.init(params0)
+    def adam_step(params, state):
+        """One Adam step for all starts (vmapped) — ONE bounded device call
+        per optimization step instead of one giant scanned call."""
+        def one(p, s):
+            v, g = grad_fn(p)
+            updates, s = opt.update(g, s)
+            return optax.apply_updates(p, updates), s, v
+        return jax.vmap(one)(params, state)
 
-        def body(carry, _):
-            params, state, best_p, best_v = carry
-            v, g = grad_fn(params)
-            updates, state = opt.update(g, state)
-            params = optax.apply_updates(params, updates)
-            better = v < best_v
-            best_p = jnp.where(better, carry[0], best_p)
-            best_v = jnp.where(better, v, best_v)
-            return (params, state, best_p, best_v), v
-
-        init = (params0, state0, params0, jnp.asarray(jnp.inf, dtype))
-        (params, _s, best_p, best_v), hist = jax.lax.scan(
-            body, init, None, length=adam_steps)
-        # evaluate the final iterate too
-        v_fin = loss(params)
-        better = v_fin < best_v
-        best_p = jnp.where(better, params, best_p)
-        best_v = jnp.where(better, v_fin, best_v)
-        return best_p, best_v, hist
-
-    params0 = jnp.stack([log_k0, log_f0], axis=1)  # (n_starts, 2)
-    best_p, best_v, hist = jax.vmap(refine)(params0)
-    best_p, best_v = np.asarray(best_p), np.asarray(best_v)
+    params = jnp.stack([log_k0, log_f0], axis=1)  # (n_starts, 2)
+    state = jax.vmap(opt.init)(params)
+    best_p = np.asarray(params)
+    best_v = np.full(n_starts, np.inf)
+    hist = []
+    for _step in range(adam_steps):
+        new_params, state, v = adam_step(params, state)
+        v = np.asarray(v)
+        hist.append(v)
+        better = v < best_v
+        best_p = np.where(better[:, None], np.asarray(params), best_p)
+        best_v = np.where(better, v, best_v)
+        params = new_params
+    v_fin = np.asarray(jax.vmap(loss)(params))
+    hist.append(v_fin)
+    better = v_fin < best_v
+    best_p = np.where(better[:, None], np.asarray(params), best_p)
+    best_v = np.where(better, v_fin, best_v)
+    hist = np.stack(hist, axis=1)
     i = int(np.argmin(best_v))
     k_best = float(np.exp(np.clip(best_p[i, 0], lo_k, hi_k)))
     f_best = float(np.exp(np.clip(best_p[i, 1], lo_f, hi_f)))
