@@ -77,11 +77,11 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                       else default_dtype())
     devs = list(devices) if devices is not None else jax.devices()
     mesh = None
-    if len(devs) > 1 and solver != "vmem":
-        # the per-config VMEM kernel runs per chip; it does not compose
-        # with mesh sharding yet (sim/sweepkernel.make_sweep_fn)
+    if len(devs) > 1:
+        # solver='vmem' composes with config-axis sharding only (each chip
+        # runs the Pallas kernel on its shard; whole problems stay on-chip)
         from heatflow_tpu.parallel.sharding import config_mesh
-        mesh = config_mesh(devices=devs)
+        mesh = config_mesh(devices=devs, z_shards=1)
     n_conf = 1 if mesh is None else mesh.shape["config"]
     if isinstance(base_config_path, dict):
         base_config, base_config_name = base_config_path, "<dict>"

@@ -171,9 +171,11 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         if fixed_iters is None:
             raise ValueError("solver='vmem' needs fixed_iters (the whole "
                              "solve is one on-chip kernel)")
-        if mesh is not None:
-            raise ValueError("solver='vmem' does not compose with mesh "
-                             "sharding yet")
+        if mesh is not None and ("z" in mesh.axis_names
+                                 and mesh.shape["z"] > 1):
+            raise ValueError("solver='vmem' shards the config axis only "
+                             "(whole problems stay on one chip); use "
+                             "z_shards=1")
         if precondition != "jacobi":
             raise ValueError("solver='vmem' implies the scaled-Jacobi path")
         if jax.default_backend() == "tpu":
@@ -183,12 +185,27 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                     f"sweep working set for a {nz}x{nr} grid exceeds the "
                     "VMEM budget; use solver='xla'")
 
+        core_vmem = batched_vmem
+        if mesh is not None:
+            # each device runs the Pallas kernel on ITS shard of configs
+            # (shard_map: operators replicated, batch split over 'config')
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            rep = jax.tree.map(lambda _: P(), ops)
+            core_vmem = shard_map(
+                batched_vmem, mesh=mesh,
+                in_specs=(rep, P("config"), P("config"), P("config"), P()),
+                out_specs=(P("config"), P("config")),
+                check_rep=False)
+
         def _batched(ops, ks, fs):
             B = len(ks)
             u0 = jnp.full((B, nz, nr), ic, dtype)
-            return batched_vmem(ops, ks, fs, u0, 0.0)[0]
+            return core_vmem(ops, ks, fs, u0, jnp.asarray(0.0, dtype))[0]
 
-        _batched_seg = batched_vmem
+        def _batched_seg(ops, ks, fs, u0, t0):
+            return core_vmem(ops, ks, fs, u0, jnp.asarray(t0, dtype))
+
     else:
         _batched = lambda ops, ks, fs: jax.vmap(
             lambda k, f: one_config(ops, k, f)[0])(ks, fs)

@@ -186,3 +186,25 @@ def test_run_parameter_sweep_driver_sharded(sweep_problem, tmp_path):
     meta = json.load(open(f"{out8}/sweep_metadata.json"))
     assert "sharded over 8 devices" in meta["engine"]
     assert len(meta["devices"]) == 8
+
+
+def test_sweep_vmem_solver_sharded(sweep_problem):
+    """solver='vmem' composed with config-axis sharding via shard_map: each
+    device runs the Pallas kernel (interpret mode on CPU) on its shard."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    _cfg, problem, _ = sweep_problem
+    B = 8
+    ks = np.linspace(2.0, 8.0, B)
+    fs = np.linspace(4e-6, 9e-6, B)
+    ref = np.asarray(make_sweep_fn(problem, dtype=jnp.float64,
+                                   fixed_iters=12,
+                                   solver="vmem")(ks, fs))
+    dmesh = config_mesh(8, z_shards=1)
+    sh = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, fixed_iters=12,
+                                  solver="vmem", mesh=dmesh)(ks, fs))
+    np.testing.assert_allclose(sh, ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+    with pytest.raises(ValueError, match="config axis only"):
+        make_sweep_fn(problem, fixed_iters=12, solver="vmem",
+                      mesh=config_mesh(8, z_shards=2))
