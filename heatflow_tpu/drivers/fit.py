@@ -82,10 +82,10 @@ def fit_parameters(problem: Problem2D, *, k_range=(1.0, 100.0),
                      coarse[1])
     KK, FF = np.meshgrid(ks, fs, indexing="ij")
     flat_k, flat_f = KK.ravel(), FF.ravel()
+    from heatflow_tpu.utils import pad_to_multiple
     n_pts = len(flat_k)
-    pad = (-n_pts) % coarse_chunk      # pad → one compiled chunk shape
-    pk = np.concatenate([flat_k, np.repeat(flat_k[-1:], pad)])
-    pf = np.concatenate([flat_f, np.repeat(flat_f[-1:], pad)])
+    pk = pad_to_multiple(flat_k, coarse_chunk)  # one compiled chunk shape
+    pf = pad_to_multiple(flat_f, coarse_chunk)
     pieces = []
     for sidx in range(0, len(pk), coarse_chunk):
         r = obj.batch(jnp.asarray(pk[sidx:sidx + coarse_chunk]),
@@ -127,7 +127,10 @@ def fit_parameters(problem: Problem2D, *, k_range=(1.0, 100.0),
     best_p = np.asarray(params)
     best_v = np.full(n_starts, np.inf)
     hist = []
-    for _step in range(adam_steps):
+    # one extra adam_step evaluates the final iterate (its v is loss(params)
+    # BEFORE the update) without compiling a second program — remote
+    # compiles cost minutes here (CLAUDE.md)
+    for _step in range(adam_steps + 1):
         new_params, state, v = adam_step(params, state)
         v = np.asarray(v)
         hist.append(v)
@@ -135,11 +138,6 @@ def fit_parameters(problem: Problem2D, *, k_range=(1.0, 100.0),
         best_p = np.where(better[:, None], np.asarray(params), best_p)
         best_v = np.where(better, v, best_v)
         params = new_params
-    v_fin = np.asarray(jax.vmap(loss)(params))
-    hist.append(v_fin)
-    better = v_fin < best_v
-    best_p = np.where(better[:, None], np.asarray(params), best_p)
-    best_v = np.where(better, v_fin, best_v)
     hist = np.stack(hist, axis=1)
     i = int(np.argmin(best_v))
     k_best = float(np.exp(np.clip(best_p[i, 0], lo_k, hi_k)))

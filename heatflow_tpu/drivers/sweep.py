@@ -101,6 +101,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         "width_values": width_vals.tolist(), "total_runs": len(combos),
         "engine": "heatflow_tpu vmapped batch"
                   + (f" sharded over {n_conf} devices" if mesh else ""),
+        "solver": solver,
+        "fixed_iters": fixed_iters,
         "devices": [str(d) for d in devs],
         "timestamp": datetime.now().isoformat(),
         "watcher_points": {
@@ -131,13 +133,18 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         wp = coupler_watcher_points(cfg_w)
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
         if isinstance(mesh_w, UnstructuredMesh):
-            # imported / generated non-grid mesh → ELL sweep kernel
-            # (config-axis sharding not composed with the ELL path yet)
+            # imported / generated non-grid mesh → unstructured sweep kernel
+            # (config-axis sharding not composed with this path yet)
+            if solver == "vmem":
+                raise ValueError(
+                    "solver='vmem' is not available for unstructured-mesh "
+                    "sweeps; the overlay/ELL kernel runs via solver='xla'")
             from heatflow_tpu.sim.unstructured import (
                 build_problem_unstructured, make_sweep_fn_unstructured)
             problem = build_problem_unstructured(mesh_w, heating, cfg_w,
                                                  watcher_points=wp)
-            sweep_fn = make_sweep_fn_unstructured(problem, dtype=dtype)
+            sweep_fn = make_sweep_fn_unstructured(problem, dtype=dtype,
+                                                  fixed_iters=fixed_iters)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
@@ -155,12 +162,11 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         t_group = time.time()
         traces = []
         for s in range(0, B, chunk):
+            from heatflow_tpu.utils import pad_to_multiple
             ks_c, fs_c = ks[s:s + chunk], fs[s:s + chunk]
             n_c = len(ks_c)
-            pad = (-n_c) % n_conf
-            if pad:
-                ks_c = np.concatenate([ks_c, np.repeat(ks_c[-1:], pad)])
-                fs_c = np.concatenate([fs_c, np.repeat(fs_c[-1:], pad)])
+            ks_c = pad_to_multiple(ks_c, n_conf)
+            fs_c = pad_to_multiple(fs_c, n_conf)
             tr = sweep_fn(ks_c, fs_c)
             traces.append(np.asarray(tr)[:n_c])
         traces = np.concatenate(traces, axis=0)      # (B, S, W)

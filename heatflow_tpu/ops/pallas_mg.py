@@ -109,10 +109,11 @@ def build_mg_setup(A: np.ndarray, free: np.ndarray, z: np.ndarray,
 
     # scaled operator with identity rows at constrained dofs (baked form for
     # the preconditioner levels)
+    from heatflow_tpu.ops.stencil import offsets_for
+
     diag = Af[0]
     s = 1.0 / np.sqrt(np.where(diag > 0, diag, 1.0)) * freef \
         + (1.0 - freef)
-    from heatflow_tpu.ops.stencil import offsets_for
 
     def bake(C, fmask, svec):
         offs = offsets_for(C.shape[0])
@@ -347,7 +348,6 @@ def _mgcg_call(A, sm, b, x0, rtol_arr, level_flat, *, setup_meta, maxiter,
     meta = dict(shapes=tuple(setup_meta[0]), lmaxs=tuple(setup_meta[1]))
     pz, pr = A.shape[-2:]
     dtype = b.dtype
-    n_in = 5 + len(level_flat)
     kern = functools.partial(
         _mgcg_kernel, meta=meta, maxiter=maxiter, rtol_wrt=rtol_wrt,
         nu=nu, nu_coarse=nu_coarse, dtype=dtype)

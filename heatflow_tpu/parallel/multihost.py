@@ -78,13 +78,12 @@ def run_sweep_multihost(problem, sample_k, fwhm, *, dtype=None,
     dtype = dtype or jnp.float32
     mesh = global_config_mesh(z_shards=z_shards)
     nc = mesh.shape["config"]
+    from heatflow_tpu.utils import pad_to_multiple
     ks = np.asarray(sample_k)
     fs = np.asarray(fwhm)
     B = len(ks)
-    pad = (-B) % nc
-    if pad:
-        ks = np.concatenate([ks, np.repeat(ks[-1:], pad)])
-        fs = np.concatenate([fs, np.repeat(fs[-1:], pad)])
+    ks = pad_to_multiple(ks, nc)
+    fs = pad_to_multiple(fs, nc)
 
     fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
                        rtol=rtol, maxiter=maxiter, num_steps=num_steps,

@@ -189,14 +189,14 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         if mesh is not None:
             # each device runs the Pallas kernel on ITS shard of configs
             # (shard_map: operators replicated, batch split over 'config')
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             rep = jax.tree.map(lambda _: P(), ops)
             core_vmem = shard_map(
                 batched_vmem, mesh=mesh,
                 in_specs=(rep, P("config"), P("config"), P("config"), P()),
                 out_specs=(P("config"), P("config")),
-                check_rep=False)
+                check_vma=False)
 
         def _batched(ops, ks, fs):
             B = len(ks)
@@ -287,12 +287,10 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     fwhm = np.asarray(fwhm)
     B = len(sample_k)
     if mesh is not None:
+        from heatflow_tpu.utils import pad_to_multiple
         nc = mesh.shape["config"]
-        pad = (-B) % nc
-        if pad:
-            sample_k = np.concatenate([sample_k,
-                                       np.repeat(sample_k[-1:], pad)])
-            fwhm = np.concatenate([fwhm, np.repeat(fwhm[-1:], pad)])
+        sample_k = pad_to_multiple(sample_k, nc)
+        fwhm = pad_to_multiple(fwhm, nc)
     nz, nr = fn.shape
     u = jnp.full((len(sample_k), nz, nr), fn.ic_temp, dtype)
     pieces = []

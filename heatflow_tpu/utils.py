@@ -47,3 +47,15 @@ class StepTimer:
             lines.append(f"Average time per step: {total / num_steps:.4f} s")
         lines.append("----------------------")
         return "\n".join(lines)
+
+
+def pad_to_multiple(arr, m: int):
+    """Pad a 1D batch array to a multiple of m by repeating its last element
+    (padded lanes recompute the last config and are sliced away by callers —
+    the sweep/fit/multihost batch-sharding convention)."""
+    import numpy as np
+    arr = np.asarray(arr)
+    pad = (-len(arr)) % m
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad)])
+    return arr

@@ -180,13 +180,12 @@ def test_kernel_supports_9point_overlay_stencils(system):
     assert abs(int(iters) - int(ref.iters)) <= 8  # blocked checks (8/blk)
 
 
-def test_sweep_driver_vmem_solver(sweep_setup, tmp_path, monkeypatch):
+def test_sweep_driver_vmem_solver(tmp_path):
     """run_parameter_sweep(solver='vmem') drives the Pallas sweep kernel
     (interpreter mode on CPU) and matches the XLA driver run."""
     import pandas as pd
     import yaml
     from heatflow_tpu.drivers.sweep import run_parameter_sweep
-    problem = sweep_setup
     cfg_path = tmp_path / "cfg.yaml"
     cfg = dict(tiny_no_diamond_cfg(coarse=3.0))
     from tests.fixtures import synthetic_heating
@@ -194,7 +193,8 @@ def test_sweep_driver_vmem_solver(sweep_setup, tmp_path, monkeypatch):
     synthetic_heating(heat)
     cfg["heating"]["file"] = str(heat)
     cfg["timing"]["num_steps"] = 3
-    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
 
     kwargs = dict(fwhm_range=(5e-6, 8e-6), k_range=(2.0, 7.0),
                   width_range=(1.84e-6, 1.84e-6), num_points=(2, 2, 1),
