@@ -68,10 +68,12 @@ def write_msh(path: str, nodes: np.ndarray, cells: np.ndarray,
 
 
 def read_msh(path: str) -> UnstructuredMesh:
-    """Read an MSH 2.2 ASCII file (triangles preferred, else lines)."""
+    """Read an MSH ASCII file, version 2.2 or 4.1 (triangles preferred,
+    else lines). Modern gmsh — the reference's mesh writer,
+    ref mesh_and_materials/mesh.py:191-197 via gmsh.write — emits 4.1 by
+    default; older setups emit 2.2."""
     with open(path) as f:
         txt = f.read().split("\n")
-    it = iter(range(len(txt)))
 
     def section(name):
         for i, line in enumerate(txt):
@@ -80,8 +82,14 @@ def read_msh(path: str) -> UnstructuredMesh:
         return None
 
     i = section("MeshFormat")
-    if i is None or not txt[i + 1].startswith("2.2"):
-        raise ValueError(f"{path}: only MSH 2.2 ASCII is supported")
+    if i is None:
+        raise ValueError(f"{path}: missing $MeshFormat")
+    version = txt[i + 1].split()[0]
+    if version.startswith("4"):
+        return _read_msh4(path, txt, section)
+    if not version.startswith("2.2"):
+        raise ValueError(f"{path}: unsupported MSH version {version} "
+                         "(2.2 and 4.1 ASCII are supported)")
 
     material_tags: dict[str, int] = {}
     i = section("PhysicalNames")
@@ -126,5 +134,85 @@ def read_msh(path: str) -> UnstructuredMesh:
         return UnstructuredMesh(nodes=coords,
                                 cells=np.asarray(lines_, dtype=np.int32),
                                 cell_tags=np.asarray(line_tags, dtype=np.int32),
+                                material_tags=material_tags)
+    raise ValueError(f"{path}: no triangles or lines found")
+
+
+def _read_msh4(path: str, txt: list[str], section) -> UnstructuredMesh:
+    """MSH 4.1 ASCII: entity-blocked nodes/elements; an element's physical
+    tag comes from its owning entity ($Entities)."""
+    material_tags: dict[str, int] = {}
+    i = section("PhysicalNames")
+    if i is not None:
+        n = int(txt[i + 1])
+        for k in range(n):
+            parts = txt[i + 2 + k].split(maxsplit=2)
+            material_tags[parts[2].strip().strip('"')] = int(parts[1])
+
+    # (dim, entityTag) → first physical tag
+    ent_phys: dict[tuple[int, int], int] = {}
+    i = section("Entities")
+    if i is not None:
+        counts = [int(v) for v in txt[i + 1].split()]
+        row = i + 2
+        for dim, cnt in enumerate(counts):
+            for _ in range(cnt):
+                parts = txt[row].split()
+                row += 1
+                tag = int(parts[0])
+                # points: tag x y z numPhys …; others: tag 6×bbox numPhys …
+                off = 4 if dim == 0 else 7
+                nphys = int(parts[off])
+                if nphys:
+                    ent_phys[(dim, tag)] = int(parts[off + 1])
+
+    i = section("Nodes")
+    header = txt[i + 1].split()
+    nblocks, nnodes = int(header[0]), int(header[1])
+    coords = np.empty((nnodes, 2), dtype=np.float64)
+    id_to_idx: dict[int, int] = {}
+    row = i + 2
+    idx = 0
+    for _ in range(nblocks):
+        _dim, _etag, _par, nb = (int(v) for v in txt[row].split())
+        row += 1
+        tags = [int(txt[row + k]) for k in range(nb)]
+        row += nb
+        for k in range(nb):
+            parts = txt[row].split()
+            row += 1
+            id_to_idx[tags[k]] = idx
+            coords[idx] = (float(parts[0]), float(parts[1]))
+            idx += 1
+
+    i = section("Elements")
+    nblocks = int(txt[i + 1].split()[0])
+    row = i + 2
+    tris, tri_tags = [], []
+    lines_, line_tags = [], []
+    for _ in range(nblocks):
+        dim, etag, etype, nb = (int(v) for v in txt[row].split())
+        row += 1
+        phys = ent_phys.get((dim, etag), 0)
+        for _ in range(nb):
+            parts = [int(v) for v in txt[row].split()]
+            row += 1
+            conn = parts[1:]
+            if etype == 2:
+                tris.append([id_to_idx[c] for c in conn])
+                tri_tags.append(phys)
+            elif etype == 1:
+                lines_.append([id_to_idx[c] for c in conn])
+                line_tags.append(phys)
+    if tris:
+        return UnstructuredMesh(nodes=coords,
+                                cells=np.asarray(tris, dtype=np.int32),
+                                cell_tags=np.asarray(tri_tags, dtype=np.int32),
+                                material_tags=material_tags)
+    if lines_:
+        return UnstructuredMesh(nodes=coords,
+                                cells=np.asarray(lines_, dtype=np.int32),
+                                cell_tags=np.asarray(line_tags,
+                                                     dtype=np.int32),
                                 material_tags=material_tags)
     raise ValueError(f"{path}: no triangles or lines found")

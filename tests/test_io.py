@@ -234,3 +234,57 @@ def test_extraction_unknown_field_name_tolerated(tmp_path):
                                   fields)
     t, data = extract_point_timeseries_xdmf(p, "f", [(0.0, 0.0)])
     np.testing.assert_allclose(data[0], [1.0, 2.0, 3.0])
+
+
+def _write_msh41(path, nodes, cells, cell_tags, material_tags):
+    """Emit an MSH 4.1 ASCII file the way gmsh does (one surface entity per
+    physical group, entity-blocked nodes/elements) — the format modern gmsh
+    writes for the reference's meshes."""
+    tags = sorted(set(int(t) for t in cell_tags))
+    lines = ["$MeshFormat", "4.1 0 8", "$EndMeshFormat",
+             "$PhysicalNames", str(len(material_tags))]
+    for name, tag in sorted(material_tags.items(), key=lambda kv: kv[1]):
+        lines.append(f'2 {tag} "{name}"')
+    lines += ["$EndPhysicalNames", "$Entities",
+              f"0 0 {len(tags)} 0"]
+    for t in tags:   # surface entity tag == physical tag here
+        lines.append(f"{t} 0 0 0 1 1 0 1 {t} 0")
+    lines += ["$EndEntities", "$Nodes",
+              f"1 {len(nodes)} 1 {len(nodes)}",
+              f"2 {tags[0]} 0 {len(nodes)}"]
+    for i in range(len(nodes)):
+        lines.append(str(i + 1))
+    for z, r in nodes:
+        lines.append(f"{z:.16e} {r:.16e} 0")
+    lines += ["$EndNodes", "$Elements"]
+    blocks = [(t, np.where(cell_tags == t)[0]) for t in tags]
+    lines.append(f"{len(blocks)} {len(cells)} 1 {len(cells)}")
+    e = 1
+    for t, idxs in blocks:
+        lines.append(f"2 {t} 2 {len(idxs)}")
+        for ci in idxs:
+            conn = " ".join(str(int(c) + 1) for c in cells[ci])
+            lines.append(f"{e} {conn}")
+            e += 1
+    lines += ["$EndElements", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_msh41_import(tmp_path):
+    """MSH 4.1 files (modern gmsh default) read identically to 2.2."""
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    tris, tags = mesh.triangles()
+    p41 = tmp_path / "mesh41.msh"
+    _write_msh41(str(p41), mesh.node_coords(), tris, tags,
+                 mesh.material_tags)
+    back = read_msh(str(p41))
+    np.testing.assert_allclose(back.nodes, mesh.node_coords())
+    # element order is grouped by entity in 4.1 — compare as sets with tags
+    got = {(*sorted(map(int, c)), int(t))
+           for c, t in zip(back.cells, back.cell_tags)}
+    want = {(*sorted(map(int, c)), int(t)) for c, t in zip(tris, tags)}
+    assert got == want
+    assert back.material_tags == mesh.material_tags
