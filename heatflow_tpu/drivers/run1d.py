@@ -70,7 +70,7 @@ def run_1d(cfg, mesh_folder_2d, mesh_folder_1d=None, rebuild_mesh=False,
            visualize_mesh=False, output_folder=None, watcher_points=None,
            write_xdmf=True, suppress_print=False, use_radial_correction=True,
            radial_gradient_path=None, *, layout="auto", dtype=None,
-           config_name=None):
+           config_name=None, mesh_style="structured"):
     """Run the 1D reduced simulation. Parameter surface mirrors the
     reference's run_1d (ref run_no_diamond_1d.py:166-192)."""
     with suppress_output(suppress_print):
@@ -78,7 +78,8 @@ def run_1d(cfg, mesh_folder_2d, mesh_folder_1d=None, rebuild_mesh=False,
         dtype = dtype or default_dtype()
         del mesh_folder_1d  # the 1D mesh is derived, nothing extra persisted
 
-        mesh2d = _prepare_mesh(cfg, mesh_folder_2d, rebuild_mesh, layout)
+        mesh2d = _prepare_mesh(cfg, mesh_folder_2d, rebuild_mesh, layout,
+                               mesh_style)
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
         if isinstance(mesh2d, UnstructuredMesh):
             # imported gmsh mesh: facet-scan axis extraction

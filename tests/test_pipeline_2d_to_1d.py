@@ -154,3 +154,21 @@ def test_run1d_missing_gradient_falls_back(pipeline, tmp_path):
                    use_radial_correction=True,
                    radial_gradient_path=None)
     assert np.all(np.isfinite(np.asarray(ys["watch"])))
+
+
+def test_run1d_builds_unstructured_mesh(tmp_path):
+    """run_1d(mesh_style='unstructured', rebuild_mesh=True) builds the
+    non-grid mesh itself and extracts the axis from it."""
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    wp = coupler_watcher_points(cfg)
+    _problem, ys = run_1d(cfg, str(tmp_path / "m"), rebuild_mesh=True,
+                          mesh_style="unstructured",
+                          output_folder=str(tmp_path / "o"),
+                          watcher_points=wp, write_xdmf=False,
+                          suppress_print=True, use_radial_correction=False)
+    assert np.isfinite(np.asarray(ys["watch"])).all()
+    assert os.path.isfile(tmp_path / "m" / "mesh_overlay.npz")
