@@ -38,22 +38,51 @@ class FitResult:
     sweep_rmse: np.ndarray | None = None
 
 
-def experimental_objective(problem: Problem2D, *, dtype=jnp.float64,
-                           rtol: float = 1e-10, maxiter: int = 20000):
+def experimental_objective(problem, *, dtype=jnp.float64,
+                           rtol: float = 1e-10, maxiter: int = 20000,
+                           vary_material: str = "p_sample"):
     """Return objective(k, fwhm) -> normalized o-side RMSE vs the problem's
     heating-curve 'oside' trace (the reference's fit metric,
-    ref no_diamond.py:65-99)."""
+    ref no_diamond.py:65-99). Accepts Problem2D (stencil path) or
+    ProblemUnstructured (overlay/ELL path, implicit-diff solves)."""
     heating = problem.heating
     if heating.oside is None:
         raise ValueError("heating curve lacks an 'oside' column to fit")
-    fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter)
     ic = problem.ic_temp
     shifted = heating.oside - heating.oside[0] + ic
     exp_normed = (shifted - shifted[0]) / (heating.temp.max()
                                            - heating.temp.min())
-    times = jnp.asarray(fn.times, dtype)
     exp_t = jnp.asarray(heating.time, dtype)
     exp_o = jnp.asarray(exp_normed, dtype)
+
+    from heatflow_tpu.sim.unstructured import ProblemUnstructured
+    if isinstance(problem, ProblemUnstructured):
+        from heatflow_tpu.sim.unstructured import (
+            make_simulate_fn_unstructured, make_sweep_fn_unstructured)
+        fnb = make_sweep_fn_unstructured(problem, dtype=dtype, rtol=rtol,
+                                         maxiter=maxiter,
+                                         vary_material=vary_material)
+        fn1 = make_simulate_fn_unstructured(problem, dtype=dtype, rtol=rtol,
+                                            maxiter=maxiter,
+                                            record_gradient=False,
+                                            differentiable=True)
+        times = jnp.asarray(fnb.times, dtype)
+        tag_order = sorted(problem.mesh.material_tags.items(),
+                           key=lambda kv: kv[1])
+        m_idx = [nm for nm, _ in tag_order].index(vary_material)
+        base_k = jnp.asarray(problem.kappas, dtype)
+
+        def objective(k, fwhm):
+            kp = base_k.at[m_idx].set(k)
+            tr = fn1(kappas=kp, fwhm=fwhm)["watch"]
+            return normalized_oside_rmse(times, tr, exp_t, exp_o)
+
+        objective.batch = lambda ks, fs: normalized_oside_rmse(
+            times, fnb(ks, fs), exp_t, exp_o)
+        return objective
+
+    fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter)
+    times = jnp.asarray(fn.times, dtype)
 
     def objective(k, fwhm):
         tr = fn.one_config(k, fwhm)
@@ -64,7 +93,7 @@ def experimental_objective(problem: Problem2D, *, dtype=jnp.float64,
     return objective
 
 
-def fit_parameters(problem: Problem2D, *, k_range=(1.0, 100.0),
+def fit_parameters(problem, *, k_range=(1.0, 100.0),
                    fwhm_range=(1e-6, 1e-4), coarse=(8, 6), n_starts: int = 3,
                    adam_steps: int = 60, lr: float = 0.05,
                    dtype=jnp.float64, rtol: float = 1e-10,
@@ -169,8 +198,14 @@ def main(argv=None):
     cfg = load_config(args.config)
     mesh = _prepare_mesh(cfg, args.mesh_folder, args.rebuild_mesh, "auto")
     heating = HeatingCurve.from_csv(cfg["heating"]["file"])
-    problem = build_problem(mesh, heating, cfg,
-                            watcher_points=coupler_watcher_points(cfg))
+    from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+    if isinstance(mesh, UnstructuredMesh):
+        from heatflow_tpu.sim.unstructured import build_problem_unstructured
+        problem = build_problem_unstructured(
+            mesh, heating, cfg, watcher_points=coupler_watcher_points(cfg))
+    else:
+        problem = build_problem(mesh, heating, cfg,
+                                watcher_points=coupler_watcher_points(cfg))
     res = fit_parameters(problem, k_range=tuple(args.k_range),
                          fwhm_range=tuple(args.fwhm_range),
                          adam_steps=args.adam_steps, dtype=default_dtype(),

@@ -59,3 +59,42 @@ def test_fit_recovers_parameters(problem_with_target):
     assert res.rmse < 5e-4
     assert res.k == pytest.approx(K_TRUE, rel=0.1)
     assert res.fwhm == pytest.approx(FWHM_TRUE, rel=0.15)
+
+
+def test_fit_recovers_parameters_unstructured():
+    """The gradient-based fit works on the unstructured (overlay) path —
+    fitting on imported/non-grid meshes, which the reference can only scan
+    by brute force on its gmsh meshes."""
+    from heatflow_tpu.mesh.unstructured_gen import build_unstructured_mesh
+    from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
+                                               make_sweep_fn_unstructured)
+    from heatflow_tpu.drivers.fit import fit_parameters
+
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["timing"]["num_steps"] = 5
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                           temp=df["temp"].to_numpy())
+    domain, mats = build_layout(cfg)
+    umesh = build_unstructured_mesh(domain, mats, seed=11)
+    wp = coupler_watcher_points(cfg)
+    problem = build_problem_unstructured(umesh, heating, cfg,
+                                         watcher_points=wp)
+
+    fn = make_sweep_fn_unstructured(problem, dtype=jnp.float64, rtol=1e-12)
+    tr = np.asarray(fn(np.array([K_TRUE]), np.array([FWHM_TRUE])))[0]
+    pside, oside = tr[:, 0], tr[:, 1]
+    span = pside.max() - pside.min()
+    normed = (oside - oside[0]) / span
+    ic = problem.ic_temp
+    exp_span = heating.temp.max() - heating.temp.min()
+    target = np.interp(heating.time, fn.times, normed)
+    heating_o = HeatingCurve(time=heating.time, temp=heating.temp,
+                             oside=ic + target * exp_span)
+    problem_t = build_problem_unstructured(umesh, heating_o, cfg,
+                                           watcher_points=wp)
+    res = fit_parameters(problem_t, k_range=(2.0, 15.0),
+                         fwhm_range=(3e-6, 1.3e-5), coarse=(4, 3),
+                         n_starts=2, adam_steps=30, lr=0.08, rtol=1e-11)
+    assert res.rmse < 1e-3
+    assert res.k == pytest.approx(K_TRUE, rel=0.15)
