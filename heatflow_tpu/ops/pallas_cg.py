@@ -90,8 +90,9 @@ CHECK_EVERY = 8  # CG iterations per convergence check (amortizes the
                  # while_loop's per-trip synchronization)
 
 
-def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, x_ref, it_ref, *,
-                   maxiter: int, rtol_wrt: str):
+def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
+                   x_ref, it_ref, *, maxiter: int, rtol_wrt: str,
+                   cheb_degree: int):
     """Whole tolerance-based CG solve in one kernel (while_loop on-chip).
 
     The operator is applied with ON-THE-FLY symmetric scaling,
@@ -100,6 +101,11 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, x_ref, it_ref, *,
     operator enough to bias far-field traces by ~1 K — measured, not
     hypothetical. sm = rsqrt(diag) * free_mask, so constrained dofs are
     annihilated (their x stays at x0 because b and r vanish there).
+
+    cheb_degree > 0 preconditions with a fixed degree-d Chebyshev
+    polynomial in the scaled operator (eigenvalue target
+    [0.08, 1.05]·λmax, λmax from the Gershgorin bound in lmax_ref):
+    ~√d fewer iterations, amortizing the per-iteration reduction latency.
     """
     sm = sm_ref[:]
     b = b_ref[:]
@@ -108,64 +114,101 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, x_ref, it_ref, *,
     def apply_op(y):
         return sm * _apply7(A_ref, sm * y)
 
+    dtype = b.dtype
+    if cheb_degree > 0:
+        lmax = lmax_ref[0, 0]
+        lo = 0.08 * lmax
+        hi = 1.05 * lmax
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+
+        def precond(rr):
+            rho = 1.0 / sigma
+            d = rr / theta
+            z = d
+            for _ in range(cheb_degree - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                res = rr - apply_op(z)
+                d = (rho_new * rho) * d + (2.0 * rho_new / delta) * res
+                z = z + d
+                rho = rho_new
+            return z
+    else:
+        precond = lambda rr: rr
+
     r = b - apply_op(x)
-    p = r
-    rz = jnp.sum(r * r)
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    rr0 = jnp.sum(r * r)
     rtol = rtol_ref[0, 0]
-    ref2 = rz if rtol_wrt == "r0" else jnp.sum(b * b)
+    ref2 = rr0 if rtol_wrt == "r0" else jnp.sum(b * b)
     stop2 = rtol * rtol * ref2
 
     def cond(state):
-        _x, _r, _p, rz, k = state
-        return jnp.logical_and(k < maxiter, rz > stop2)
+        _x, _r, _p, _rz, rr, k = state
+        return jnp.logical_and(k < maxiter, rr > stop2)
 
     def one_iter(_i, state):
-        x, r, p, rz = state
+        x, r, p, rz, _rr = state
         Ap = apply_op(p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rz_new = jnp.sum(r * r)
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-        p = r + beta * p
-        return (x, r, p, rz_new)
+        p = z + beta * p
+        rr = rz_new if cheb_degree == 0 else jnp.sum(r * r)
+        return (x, r, p, rz_new, rr)
 
     def body(state):
-        x, r, p, rz, k = state
+        x, r, p, rz, rr, k = state
         # run a block of iterations between convergence checks (the extra
         # iterations past the tolerance are free accuracy)
-        x, r, p, rz = jax.lax.fori_loop(0, CHECK_EVERY, one_iter,
-                                        (x, r, p, rz))
-        return (x, r, p, rz, k + CHECK_EVERY)
+        x, r, p, rz, rr = jax.lax.fori_loop(0, CHECK_EVERY, one_iter,
+                                            (x, r, p, rz, rr))
+        return (x, r, p, rz, rr, k + CHECK_EVERY)
 
-    x, r, p, rz, k = jax.lax.while_loop(
-        cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32)))
+    x, r, p, rz, rr, k = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, rr0, jnp.zeros((), jnp.int32)))
     x_ref[:] = x
     it_ref[0, 0] = k
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("maxiter", "rtol_wrt", "interpret"))
+                   static_argnames=("maxiter", "rtol_wrt", "interpret",
+                                    "cheb_degree"))
 def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
                 x0: jnp.ndarray, rtol: float | jnp.ndarray, *,
                 maxiter: int = 4000, rtol_wrt: str = "r0",
-                interpret: bool = False):
+                interpret: bool = False, cheb_degree: int = 0):
     """Tolerance-based VMEM-resident CG on the scaled-masked operator
     sm·A·sm. Returns (x, iters). b and x0 must vanish at constrained dofs;
     sm = rsqrt(diag(A)) * free. ``interpret=True`` runs the Pallas
-    interpreter (CPU testing)."""
+    interpreter (CPU testing). ``cheb_degree>0`` preconditions with an
+    in-kernel Chebyshev polynomial (stopping still on the true residual)."""
     nz, nr = b.shape
     rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
+    if cheb_degree > 0:
+        # Gershgorin bound of the scaled operator (sm >= 0, so absolute
+        # row sums are one |A|-apply): λmax ≈ max_i Σ_j |Â_ij|
+        lmax = jnp.max(sm * _xla_apply_abs(A, sm)).reshape(1, 1)
+        lmax = lmax.astype(b.dtype)
+    else:
+        lmax = jnp.ones((1, 1), b.dtype)
     x, it = pl.pallas_call(
         functools.partial(_cg_tol_kernel, maxiter=maxiter,
-                          rtol_wrt=rtol_wrt),
+                          rtol_wrt=rtol_wrt, cheb_degree=cheb_degree),
         out_shape=(jax.ShapeDtypeStruct((nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -175,8 +218,15 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
             flops=maxiter * 24 * nz * nr // 4,
             bytes_accessed=(8 + 3) * nz * nr * 4, transcendentals=0),
         interpret=interpret,
-    )(A, sm, b, x0, rtol_arr)
+    )(A, sm, b, x0, rtol_arr, lmax)
     return x, it[0, 0]
+
+
+def _xla_apply_abs(A, v):
+    """|A| @ v at XLA level (λmax estimate runs once per solve, outside the
+    kernel)."""
+    from heatflow_tpu.ops.stencil import apply_stencil
+    return apply_stencil(jnp.abs(A), v)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

@@ -60,7 +60,8 @@ def make_simulate_fn(problem: Problem2D,
                      record_fields: bool = False,
                      precondition: str = "jacobi",
                      rtol_wrt: str = "r0",
-                     solver: str = "xla") -> Callable:
+                     solver: str = "xla",
+                     vmem_cheb_degree: int = 0) -> Callable:
     """Build a jittable simulate(kappas, rho_cvs, fwhm) -> dict of traces.
 
     All arguments default to the problem's own material values, so
@@ -166,7 +167,8 @@ def make_simulate_fn(problem: Problem2D,
             if use_vmem:
                 from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
                 x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0, rtol,
-                                       maxiter=maxiter, rtol_wrt=rtol_wrt)
+                                       maxiter=maxiter, rtol_wrt=rtol_wrt,
+                                       cheb_degree=vmem_cheb_degree)
                 sol = CGResult(x=x, iters=iters,
                                residual=jnp.zeros((), dtype),
                                converged=jnp.asarray(True))

@@ -213,3 +213,16 @@ def test_sweep_driver_vmem_solver(tmp_path):
         ta = pd.read_csv(f"{tmp_path}/v/{a['run_name']}/watcher_points.csv")
         tb = pd.read_csv(f"{tmp_path}/x/{b['run_name']}/watcher_points.csv")
         np.testing.assert_allclose(ta.to_numpy(), tb.to_numpy(), rtol=1e-9)
+
+
+def test_kernel_cheb_preconditioner(system):
+    """cheb_degree>0 converges to the same solution in fewer CG iterations;
+    stopping still honors the true-residual tolerance."""
+    A, sm, free, b, x_true = system
+    x0, it0 = cg_vmem_tol(A, sm, b, jnp.zeros_like(b), 1e-10,
+                          maxiter=20000, interpret=True)
+    x3, it3 = cg_vmem_tol(A, sm, b, jnp.zeros_like(b), 1e-10,
+                          maxiter=20000, interpret=True, cheb_degree=3)
+    scale = float(jnp.abs(x_true).max())
+    assert float(jnp.abs(x3 - x_true).max()) / scale < 1e-8
+    assert int(it3) < int(it0) / 1.4, f"{int(it3)} vs {int(it0)}"
