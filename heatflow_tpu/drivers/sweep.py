@@ -229,6 +229,9 @@ def main(argv=None):
     p.add_argument("--num-points", type=int, nargs=3, default=[5, 5, 3])
     p.add_argument("--mesh-folder", type=str, default="meshes")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="accepted for reference-CLI parity and ignored "
+                        "(parallelism is the vmapped device-sharded batch)")
     p.add_argument("--solver", choices=["xla", "vmem"], default="xla",
                    help="'vmem': per-config VMEM-resident Pallas CG "
                         "(fastest on TPU; requires --fixed-iters)")
