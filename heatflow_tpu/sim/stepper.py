@@ -61,12 +61,22 @@ def make_simulate_fn(problem: Problem2D,
                      precondition: str = "jacobi",
                      rtol_wrt: str = "r0",
                      solver: str = "xla",
-                     vmem_cheb_degree: int = 0) -> Callable:
+                     vmem_cheb_degree: int = 0,
+                     warm_start: str = "previous") -> Callable:
     """Build a jittable simulate(kappas, rho_cvs, fwhm) -> dict of traces.
 
     All arguments default to the problem's own material values, so
     ``simulate()`` runs the configured problem; passing arrays makes it a
     sweep kernel (vmap over any of the three).
+
+    warm_start: 'previous' seeds each step's CG with u_{n} (the reference's
+    implicit-in-time structure has no analogue — MUMPS solves exactly);
+    'extrapolate' seeds with the linear time extrapolation 2·u_n − u_{n−1},
+    which halves-or-better the initial residual on smooth transients. With
+    ``rtol_wrt='r0'`` the stop threshold is tied to the (now smaller)
+    initial residual, so the same rtol buys strictly better absolute
+    accuracy; the speed win comes from loosening rtol back to the matched
+    trace-accuracy point (measured in BENCHMARKS.md).
     """
     dev = problem.device_arrays(dtype)
     num_steps = int(problem.num_steps)
@@ -158,12 +168,16 @@ def make_simulate_fn(problem: Problem2D,
         b_src = 0.0 if source is None \
             else dt * apply_stencil(M_proj, source)
 
+        extrapolate = warm_start == "extrapolate"
+
         def step(carry, t):
-            u_prev, gr_prev = carry
+            u_prev, u_pp, gr_prev = carry
             g = bc_values(t)
             b = apply_stencil(M_op, u_prev) + b_src
             b_lift = (b - apply_stencil(A, g)) * s
-            y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
+            # CG seed: previous solution, or its linear extrapolation in time
+            u_seed = 2.0 * u_prev - u_pp if extrapolate else u_prev
+            y0 = (u_seed / jnp.where(s > 0, s, 1.0)) * free
             if use_vmem:
                 from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
                 x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0, rtol,
@@ -199,11 +213,11 @@ def make_simulate_fn(problem: Problem2D,
                 gr = gr_prev
             if record_fields:
                 outs["field"] = u
-            return (u, gr), outs
+            return (u, u_prev, gr), outs
 
         gr0 = jnp.zeros((nz, nr), dtype)
         ts = (jnp.arange(1, num_steps + 1, dtype=dtype)) * dt + t0
-        (u_fin, _), ys = jax.lax.scan(step, (u0, gr0), ts)
+        (u_fin, _, _), ys = jax.lax.scan(step, (u0, u0, gr0), ts)
         ys["final_u"] = u_fin
         ys["times"] = ts
         return ys
@@ -263,6 +277,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   record_gradient: bool = True,
                   record_fields: bool = False,
                   precondition: str = "jacobi", solver: str = "xla",
+                  warm_start: str = "previous",
                   kappas=None, rho_cvs=None, fwhm=None,
                   u0=None, t0: float = 0.0, source=None) -> TransientResult:
     """Convenience wrapper: build, run, and repatriate results (the simulate
@@ -271,7 +286,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
         record_fields=record_fields, precondition=precondition,
-        solver=solver)
+        solver=solver, warm_start=warm_start)
     ys = fn(kappas, rho_cvs, fwhm, u0, t0, source)
     ys = jax.tree.map(np.asarray, ys)
 
