@@ -73,7 +73,16 @@ def validate_config(cfg: dict, *, require_heating_file: bool = False) -> None:
     for name, mat in cfg["mats"].items():
         if not isinstance(mat, dict):
             raise ConfigError(f"mats.{name} must be a mapping")
-        for k in REQUIRED_MAT_KEYS:
+        # explicit-bounds (custom layout) materials carry their geometry in
+        # 'bounds' instead of the stack parameters r/z (geometry.layout_custom)
+        required = (("rho", "cv", "k", "mesh") if "bounds" in mat
+                    else REQUIRED_MAT_KEYS)
+        if "bounds" in mat:
+            if (not isinstance(mat["bounds"], (list, tuple))
+                    or len(mat["bounds"]) != 4):
+                raise ConfigError(
+                    f"mats.{name}.bounds must be [zmin, zmax, rmin, rmax]")
+        for k in required:
             if k not in mat:
                 raise ConfigError(f"mats.{name} missing key '{k}'")
             try:

@@ -133,7 +133,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                    suppress_print=False, *, layout="auto", dtype=None,
                    rtol=None, maxiter=20000, record_gradient=True,
                    solver="xla", profile_dir=None, resume_from=None,
-                   write_checkpoint=True, mesh_style="structured"):
+                   write_checkpoint=True, mesh_style="structured",
+                   warm_start="previous"):
     """Run the 2D transient simulation. See module docstring for outputs.
 
     watcher_points: dict name -> (z, r), or list of {'name','coords'} dicts
@@ -212,7 +213,7 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                                    maxiter=maxiter,
                                    record_gradient=record_gradient,
                                    record_fields=write_xdmf, solver=solver,
-                                   u0=u0, t0=t0)
+                                   warm_start=warm_start, u0=u0, t0=t0)
         # scan results are already on host after run_transient
         t_end = time.time()
 
@@ -345,8 +346,12 @@ def main(argv=None):
                         "points at the coupler centers")
     p.add_argument("--write-xdmf", action="store_true")
     p.add_argument("--suppress-print", action="store_true")
-    p.add_argument("--layout", choices=["auto", "no_diamond", "with_diamond"],
-                   default="auto")
+    p.add_argument("--layout", choices=["auto", "no_diamond", "with_diamond",
+                                        "custom"],
+                   default="auto",
+                   help="'custom': every material carries explicit bounds "
+                        "[zmin,zmax,rmin,rmax] (free-form stacks, e.g. the "
+                        "reference notebooks' IR-layer geometries)")
     p.add_argument("--mesh-style", choices=["structured", "unstructured"],
                    default="structured",
                    help="'unstructured': graded non-grid triangulation (the "
@@ -358,6 +363,11 @@ def main(argv=None):
                    help="capture a jax.profiler trace into this directory")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint.npz (or its folder) to resume from")
+    p.add_argument("--warm-start", choices=["previous", "extrapolate"],
+                   default="previous",
+                   help="CG seed per step: previous solution, or its linear "
+                        "time extrapolation (same cost, ~2x lower f32 trace "
+                        "error at equal iterations — BENCHMARKS.md)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -371,7 +381,8 @@ def main(argv=None):
                    args.visualize_mesh, args.output_folder, wp,
                    args.write_xdmf, args.suppress_print, layout=args.layout,
                    solver=args.solver, profile_dir=args.profile_dir,
-                   resume_from=args.resume, mesh_style=args.mesh_style)
+                   resume_from=args.resume, mesh_style=args.mesh_style,
+                   warm_start=args.warm_start)
 
 
 if __name__ == "__main__":

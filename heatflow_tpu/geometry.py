@@ -146,19 +146,97 @@ def layout_with_diamond(cfg: dict):
     return (zmin, zmax, rmin, rmax), mats
 
 
+def layout_custom(cfg: dict):
+    """Free-form layout: every material carries explicit ``bounds:
+    [zmin, zmax, rmin, rmax]`` in the config.
+
+    This is the YAML form of the reference's raw ``Material(name, bounds,
+    props, mesh_size)`` API (ref mesh_and_materials/materials.py:16-34),
+    which its notebooks use to build stacks the two canonical layouts can't
+    express — e.g. the IR-absorber sample stacks of with_ir_steady.ipynb /
+    clean_with_ir.ipynb (hand-computed ``bx_*``/``BX_*`` bounds cells).
+    Such configs should also set ``heating.z`` (and optionally
+    ``heating.r_max``) — see :func:`heating_line`.
+    """
+    mats = []
+    for name, m in cfg["mats"].items():
+        if "bounds" not in m:
+            raise ValueError(
+                f"custom layout: mats.{name} needs explicit 'bounds' "
+                "[zmin, zmax, rmin, rmax]")
+        bounds = [float(b) for b in m["bounds"]]
+        if len(bounds) != 4:
+            raise ValueError(f"mats.{name}.bounds must have 4 entries")
+        mats.append(_mat_spec(cfg, name, bounds))
+    zmin = min(m.bounds[0] for m in mats)
+    zmax = max(m.bounds[1] for m in mats)
+    rmin = min(m.bounds[2] for m in mats)
+    rmax = max(m.bounds[3] for m in mats)
+    return (zmin, zmax, rmin, rmax), mats
+
+
 def build_layout(cfg: dict, kind: str = "auto"):
     """Return (domain_bounds, materials) for a config.
 
-    kind: 'auto' (detect p_diam, ref: parameter_sweep.py:91), 'no_diamond',
-    or 'with_diamond'.
+    kind: 'auto' (explicit bounds → custom; else detect p_diam,
+    ref: parameter_sweep.py:91), 'no_diamond', 'with_diamond', or 'custom'.
     """
     if kind == "auto":
-        kind = "with_diamond" if "p_diam" in cfg["mats"] else "no_diamond"
+        if any("bounds" in m for m in cfg["mats"].values()):
+            kind = "custom"
+        else:
+            kind = "with_diamond" if "p_diam" in cfg["mats"] else "no_diamond"
     if kind == "no_diamond":
         return layout_no_diamond(cfg)
     if kind == "with_diamond":
         return layout_with_diamond(cfg)
+    if kind == "custom":
+        return layout_custom(cfg)
     raise ValueError(f"unknown layout kind {kind!r}")
+
+
+def heating_line(cfg: dict, materials: list[MaterialSpec] | None = None
+                 ) -> tuple[float, float | None]:
+    """(coord, length) of the Gaussian heating Dirichlet line.
+
+    Default: the p-side coupler's left edge, clipped to ±r_sample
+    (ref run_no_diamond.py:315-322). Config overrides ``heating.z`` (axial
+    position) and ``heating.r_max`` (clip radius; length = 2·r_max) serve
+    free-form stacks, which have no canonical coupler — the knobs the
+    reference's notebooks set by hand (e.g. clean_with_ir.ipynb's Gaussian
+    cell). length None means an unclipped line (the RowDirichletBC default,
+    ref dirichlet_bc/bc.py:32-101).
+    """
+    heat = cfg.get("heating", {})
+    coord = float(heat["z"]) if "z" in heat else None
+    length = 2.0 * abs(float(heat["r_max"])) if "r_max" in heat else None
+    by_name = {m.name: m for m in (materials or [])}
+
+    if coord is None:
+        if "p_coupler" in by_name:
+            coord = by_name["p_coupler"].bounds[0]
+        elif "p_coupler" in cfg["mats"]:
+            # cfg-scalar derivation (unstructured meshes carry no
+            # MaterialSpec list): zmin + z_diam + z_ins_pside
+            z_sample = mat_float(cfg, "p_sample", "z")
+            z_ins_pside = mat_float(cfg, "p_ins", "z")
+            z_coupler = mat_float(cfg, "p_coupler", "z")
+            z_diam = (mat_float(cfg, "p_diam", "z")
+                      if "p_diam" in cfg["mats"] else 0.0)
+            zmin = -(z_sample / 2) - z_ins_pside - z_coupler - z_diam
+            coord = zmin + z_diam + z_ins_pside
+        else:
+            raise ValueError(
+                "cannot derive the heating line: config has no p_coupler — "
+                "set heating.z explicitly (custom layouts)")
+    if length is None:
+        if "p_sample" in by_name:
+            b = by_name["p_sample"].bounds
+            length = 2.0 * (b[3] - b[2])
+        elif "p_sample" in cfg["mats"] and "bounds" not in cfg["mats"]["p_sample"]:
+            length = 2.0 * abs(mat_float(cfg, "p_sample", "r"))
+        # else: unclipped heating line (documented custom-layout default)
+    return coord, length
 
 
 def validate_layout(domain_bounds, materials: list[MaterialSpec]) -> None:

@@ -193,13 +193,12 @@ def build_problem(mesh: StructuredMesh,
                  | structured_row_mask(z, r, "top"))
 
     # Heating line: inner 'x' row at the p-side coupler's left edge, clipped
-    # to |r| <= r_sample (length = 2·r_sample, center 0), ref :315-322.
-    by_name = {m.name: m for m in mats}
-    p_coupler = by_name["p_coupler"]
-    r_sample = by_name["p_sample"].bounds[3] - by_name["p_sample"].bounds[2]
+    # to |r| <= r_sample (length = 2·r_sample, center 0), ref :315-322;
+    # custom layouts override via heating.z / heating.r_max (geometry.py).
+    from heatflow_tpu.geometry import heating_line
+    heat_z, heat_length = heating_line(cfg, mats)
     heat_mask = structured_row_mask(
-        z, r, "x", coord=p_coupler.bounds[0], center=0.0,
-        length=2.0 * abs(r_sample))
+        z, r, "x", coord=heat_z, center=0.0, length=heat_length)
 
     dirichlet = edge_mask | heat_mask
     rr = np.broadcast_to(r[None, :], (len(z), len(r)))

@@ -68,16 +68,11 @@ def build_problem_unstructured(mesh: UnstructuredMesh, heating: HeatingCurve,
     else:
         raise ValueError("mesh lacks material name → tag mapping")
 
-    if heat_coord is None:
-        z_sample = mat_float(cfg, "p_sample", "z")
-        z_ins_pside = mat_float(cfg, "p_ins", "z")
-        z_coupler = mat_float(cfg, "p_coupler", "z")
-        has_diam = "p_diam" in cfg["mats"]
-        z_diam = mat_float(cfg, "p_diam", "z") if has_diam else 0.0
-        zmin = -(z_sample / 2) - z_ins_pside - z_coupler - z_diam
-        heat_coord = zmin + z_diam + z_ins_pside
-    if heat_length is None:
-        heat_length = 2.0 * abs(mat_float(cfg, "p_sample", "r"))
+    if heat_coord is None or heat_length is None:
+        from heatflow_tpu.geometry import heating_line
+        cfg_coord, cfg_length = heating_line(cfg)
+        heat_coord = cfg_coord if heat_coord is None else heat_coord
+        heat_length = cfg_length if heat_length is None else heat_length
 
     edge = (node_row_mask(nodes, "left") | node_row_mask(nodes, "right")
             | node_row_mask(nodes, "top"))
