@@ -66,7 +66,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         batch_size: int | None = None,
                         save_run_dirs: bool = True, devices=None,
                         solver: str = "xla",
-                        fixed_iters: int | None = None):
+                        fixed_iters: int | None = None,
+                        warm_start: str = "previous"):
     """Run the sweep. ``num_processes`` is accepted for API parity and
     ignored — parallelism is the vmapped batch, sharded over ``devices``
     (default: all of ``jax.devices()``) along the batch axis; each device
@@ -139,6 +140,10 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                 raise ValueError(
                     "solver='vmem' is not available for unstructured-mesh "
                     "sweeps; the overlay/ELL kernel runs via solver='xla'")
+            if warm_start != "previous":
+                raise ValueError(
+                    "warm_start='extrapolate' is not wired into the "
+                    "unstructured sweep kernel yet; use the default")
             from heatflow_tpu.sim.unstructured import (
                 build_problem_unstructured, make_sweep_fn_unstructured)
             problem = build_problem_unstructured(mesh_w, heating, cfg_w,
@@ -149,7 +154,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
             sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
-                                     solver=solver, fixed_iters=fixed_iters)
+                                     solver=solver, fixed_iters=fixed_iters,
+                                     warm_start=warm_start)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])
@@ -237,6 +243,11 @@ def main(argv=None):
                         "(fastest on TPU; requires --fixed-iters)")
     p.add_argument("--fixed-iters", type=int, default=None,
                    help="fixed CG iterations per step (static control flow)")
+    p.add_argument("--warm-start", choices=["previous", "extrapolate"],
+                   default="previous",
+                   help="CG seed per step: previous field, or 2u_n - u_{n-1} "
+                        "(accuracy knob at generous fixed-iteration budgets; "
+                        "see BENCHMARKS.md)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
     if args.solver == "vmem" and args.fixed_iters is None:
@@ -252,7 +263,8 @@ def main(argv=None):
         tuple(args.k_range), tuple(args.width_range),
         tuple(args.num_points), base_mesh_folder=args.mesh_folder,
         suppress_print=not args.verbose, batch_size=args.batch_size,
-        solver=args.solver, fixed_iters=args.fixed_iters)
+        solver=args.solver, fixed_iters=args.fixed_iters,
+        warm_start=args.warm_start)
 
 
 if __name__ == "__main__":

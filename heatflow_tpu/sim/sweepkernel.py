@@ -31,7 +31,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                   maxiter: int = 4000, fixed_iters: int | None = None,
                   precondition: str = "jacobi",
                   num_steps: int | None = None, mesh=None,
-                  solver: str = "xla"):
+                  solver: str = "xla", warm_start: str = "previous"):
     """Build simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces
     (B, S, W). vmappable/shardable along B; differentiable in both inputs.
 
@@ -53,6 +53,12 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     and the whole solve on-chip). Requires ``fixed_iters``; the trajectory
     matches the XLA path's ``pcg_fixed`` exactly. Runs in interpreter mode
     off-TPU so CPU tests cover the same kernel.
+
+    ``warm_start='extrapolate'``: seed each step's CG with 2·u_n − u_{n−1}
+    instead of u_n — free per iteration, and with ``fixed_iters`` it buys
+    the same accuracy at a smaller iteration budget (measured on the sweep
+    benchmark in BENCHMARKS.md). Both solver paths use the same seeds, so
+    vmem/XLA trajectory equality is preserved.
     """
     dev = problem.device_arrays(dtype)
     num_steps = int(problem.num_steps if num_steps is None else num_steps)
@@ -90,6 +96,8 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             mg_base.append({**lv, "A0": A_l})
         ops["mg"] = mg_base
 
+    extrapolate = warm_start == "extrapolate"
+
     def one_config(ops, sample_k, fwhm, u0=None, t0=0.0):
         free, dirich = ops["free"], ops["dirich"]
         dk = (jnp.asarray(sample_k, dtype) - base_k) * dt
@@ -113,11 +121,13 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fwhm * fwhm)
         profile = jnp.exp(coeff * ops["r_sq"]) * ops["base"]
 
-        def step(u_prev, t):
+        def step(carry, t):
+            u_prev, u_pp = carry
             amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
             g = ic * dirich + (amp - ic) * profile
             b = (apply_stencil(ops["M_op"], u_prev) - apply_A(g)) * s * free
-            y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
+            seed = 2.0 * u_prev - u_pp if extrapolate else u_prev
+            y0 = (seed / jnp.where(s > 0, s, 1.0)) * free
             if fixed_iters is not None:
                 x = pcg_fixed(apply_s, b, y0, precond=pre, mask=free,
                               iters=fixed_iters).x
@@ -125,13 +135,13 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                 x = pcg_solve(apply_s, b, y0, precond=pre, mask=free,
                               rtol=rtol, maxiter=maxiter)
             u = x * s * free + g
-            return u, u.reshape(-1)[ops["watch"]]
+            return (u, u_prev), u.reshape(-1)[ops["watch"]]
 
         u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
             else jnp.asarray(u0, dtype)
         ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt \
             + jnp.asarray(t0, dtype)
-        u_fin, traces = jax.lax.scan(step, u0, ts)
+        (u_fin, _), traces = jax.lax.scan(step, (u0, u0), ts)
         return traces, u_fin
 
     def batched_vmem(ops, ks, fs, u0, t0):
@@ -152,19 +162,22 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                             + dk * apply_stencil(ops["K_var"], v))
         apply_Mb = jax.vmap(lambda v: apply_stencil(ops["M_op"], v))
 
-        def step(U, t):
+        def step(carry, t):
+            U, U_pp = carry
             amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
             G = ic * dirich + (amp - ic) * profiles
             Bv = (apply_Mb(U) - apply_Ab(dks, G)) * sm
-            Y0 = U / s * free
+            seed = 2.0 * U - U_pp if extrapolate else U
+            Y0 = seed / s * free
             X = cg_vmem_batched(ops["A0"], ops["K_var"], dks, sm, Bv, Y0,
                                 iters=fixed_iters, interpret=interpret)
-            U = X * sm + G
-            return U, U.reshape(U.shape[0], -1)[:, ops["watch"]]
+            Un = X * sm + G
+            return (Un, U), Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
 
         ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt \
             + jnp.asarray(t0, dtype)
-        u_fin, traces = jax.lax.scan(step, jnp.asarray(u0, dtype), ts)
+        u00 = jnp.asarray(u0, dtype)
+        (u_fin, _), traces = jax.lax.scan(step, (u00, u00), ts)
         return jnp.swapaxes(traces, 0, 1), u_fin
 
     if solver == "vmem":
@@ -216,12 +229,9 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         batched = jax.jit(_batched)
         batched_seg = jax.jit(_batched_seg)
     else:
-        if precondition == "mg":
-            raise ValueError("mesh sharding composes with the Jacobi path; "
-                             "MG coarse grids are not sharded yet")
         from jax.sharding import NamedSharding, PartitionSpec as P
-        z_ok = ("z" in mesh.axis_names and mesh.shape["z"] > 1
-                and nz % mesh.shape["z"] == 0)
+        z_shards = mesh.shape["z"] if "z" in mesh.axis_names else 1
+        z_ok = z_shards > 1 and nz % z_shards == 0
         z_ax = "z" if z_ok else None
 
         def op_spec(x):
@@ -232,8 +242,34 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                 return P(z_ax, None)
             return P()                        # curves, watcher ids
 
+        def mg_level_spec(nz_l):
+            # shard a coarse level along z only while its grid still divides
+            # the axis; deeper (odd-sized) levels are replicated — GSPMD
+            # inserts the gather at the level boundary, and coarse grids are
+            # tiny so the communication is negligible
+            z_l = z_ax if (z_ok and nz_l % z_shards == 0) else None
+
+            def spec(x):
+                nd = jnp.ndim(x)
+                if nd == 4:                   # (n_mats, 7/9, Nz_l, Nr_l)
+                    return P(None, None, z_l, None)
+                if nd == 3:                   # combined operator A0
+                    return P(None, z_l, None)
+                if nd == 2 and x.shape[0] == nz_l:   # free mask
+                    return P(z_l, None)
+                return P()                    # 1D transfer index/weight rows
+
+            return spec
+
+        mg_sh = None
+        if ops["mg"] is not None:
+            mg_sh = [jax.tree.map(
+                lambda x, sp=mg_level_spec(shp[0]): NamedSharding(mesh, sp(x)),
+                lv) for lv, shp in zip(ops["mg"], mg_shapes)]
         ops_sh = jax.tree.map(
-            lambda x: NamedSharding(mesh, op_spec(x)), ops)
+            lambda x: NamedSharding(mesh, op_spec(x)),
+            {**ops, "mg": None})
+        ops_sh["mg"] = mg_sh
         cfg_sh = NamedSharding(mesh, P("config"))
         field_sh = NamedSharding(mesh, P("config", z_ax, None))
         scalar_sh = NamedSharding(mesh, P())
@@ -271,18 +307,24 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
                            rtol: float = 1e-5, maxiter: int = 4000,
                            precondition: str = "jacobi",
                            verbose: bool = False, mesh=None,
-                           solver: str = "xla"):
+                           solver: str = "xla", warm_start: str = "previous"):
     """Run the full transient for a (possibly very large) batch with bounded
     device-call durations: the whole batch stays resident while time is
     integrated chunk by chunk. Returns traces (B, num_steps, W).
 
     ``mesh``: shard the batch axis over the mesh's 'config' devices (the
-    batch is padded to a multiple of the axis size and sliced back)."""
+    batch is padded to a multiple of the axis size and sliced back).
+
+    ``warm_start='extrapolate'`` applies within each chunk; the first step
+    of every chunk re-seeds from the carried field alone (the u_{n-1}
+    history is not threaded across chunk boundaries — 1/step_chunk of the
+    steps, a negligible accuracy difference)."""
     total = int(problem.num_steps)
     chunk_len = min(step_chunk, total)
     fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
                        rtol=rtol, maxiter=maxiter, precondition=precondition,
-                       num_steps=chunk_len, mesh=mesh, solver=solver)
+                       num_steps=chunk_len, mesh=mesh, solver=solver,
+                       warm_start=warm_start)
     sample_k = np.asarray(sample_k)
     fwhm = np.asarray(fwhm)
     B = len(sample_k)

@@ -137,6 +137,27 @@ def test_make_sweep_fn_sharded_scan_matches_unsharded(sweep_problem):
                                atol=1e-11 * np.abs(ref).max())
 
 
+def test_mg_preconditioned_sweep_sharded_matches_unsharded(sweep_problem):
+    """RAP-MG-preconditioned sweeps compose with (config, z) sharding: fine
+    levels are z-sharded while odd-sized coarse levels stay replicated
+    (GSPMD inserts the transfers), and the result equals the single-device
+    run — closing the 'MG coarse grids are not z-sharded' gap."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    _cfg, problem, _ = sweep_problem
+    B = 8
+    ks = np.linspace(2.0, 8.0, B)
+    fs = np.linspace(4e-6, 9e-6, B)
+    ref = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, fixed_iters=6,
+                                   precondition="mg")(ks, fs))
+    nz = problem.mesh.shape[0]
+    zs = 2 if nz % 2 == 0 else 1
+    dmesh = config_mesh(8, z_shards=zs)
+    sh = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, fixed_iters=6,
+                                  precondition="mg", mesh=dmesh)(ks, fs))
+    np.testing.assert_allclose(sh, ref, rtol=1e-11,
+                               atol=1e-11 * np.abs(ref).max())
+
+
 def test_time_chunked_sharded_matches_unsharded(sweep_problem):
     """The resident time-chunked runner shards its batch axis (with padding
     to the config-axis size) and matches the unsharded result."""
