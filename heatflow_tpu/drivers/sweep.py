@@ -140,16 +140,13 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                 raise ValueError(
                     "solver='vmem' is not available for unstructured-mesh "
                     "sweeps; the overlay/ELL kernel runs via solver='xla'")
-            if warm_start != "previous":
-                raise ValueError(
-                    "warm_start='extrapolate' is not wired into the "
-                    "unstructured sweep kernel yet; use the default")
             from heatflow_tpu.sim.unstructured import (
                 build_problem_unstructured, make_sweep_fn_unstructured)
             problem = build_problem_unstructured(mesh_w, heating, cfg_w,
                                                  watcher_points=wp)
             sweep_fn = make_sweep_fn_unstructured(problem, dtype=dtype,
-                                                  fixed_iters=fixed_iters)
+                                                  fixed_iters=fixed_iters,
+                                                  warm_start=warm_start)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)

@@ -125,7 +125,8 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                   proj_rtol=None, proj_maxiter=400,
                                   record_gradient=True,
                                   record_fields=False, rtol_wrt="b",
-                                  differentiable=False, solver="xla"):
+                                  differentiable=False, solver="xla",
+                                  warm_start="previous"):
     """Build a jittable simulate(kappas, rho_cvs, fwhm, u0, t0, source) on the
     ELL operator path — same surface as the structured
     ``stepper.make_simulate_fn`` (parameter overrides default to the
@@ -136,6 +137,10 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     ``pcg_solve`` (implicit differentiation via custom_linear_solve, one
     adjoint CG per step under grad) and drops the cg_iters trace output —
     the enabler for gradient-based experimental fitting on imported meshes.
+
+    warm_start='extrapolate' seeds each step's CG with 2·u_n − u_{n−1}
+    instead of u_n (same semantics as the structured stepper; measured
+    trade-offs in BENCHMARKS.md).
     """
     from heatflow_tpu.ops.cg import pcg_fixed, pcg_solve
     from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
@@ -255,11 +260,18 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
             amp = jnp.interp(t, heat_t, heat_T) - amp_offset
             return ic * dirich + (amp - ic) * profile
 
+        extrapolate = warm_start == "extrapolate"
+
         def step(carry, t):
-            u_prev, gr_prev = carry
+            if extrapolate:
+                u_prev, u_pp, gr_prev = carry
+                seed = 2.0 * u_prev - u_pp
+            else:
+                u_prev, gr_prev = carry
+                seed = u_prev
             g = bc_values(t)
             b = (apply_M(u_prev) + b_src - apply_A(g)) * s
-            y0 = (u_prev / jnp.where(s > 0, s, 1.0)) * free
+            y0 = (seed / jnp.where(s > 0, s, 1.0)) * free
             if differentiable:
                 x = pcg_solve(apply_s, b * free, y0, mask=free, rtol=rtol,
                               maxiter=maxiter)
@@ -300,11 +312,14 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                 gr = gr_prev
             if record_fields:
                 outs["field"] = u
-            return (u, gr), outs
+            carry_out = (u, u_prev, gr) if extrapolate else (u, gr)
+            return carry_out, outs
 
         gr0 = jnp.zeros((n,), dtype)
         ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt + t0
-        (u_fin, _), ys = jax.lax.scan(step, (u0, gr0), ts)
+        carry0 = (u0, u0, gr0) if extrapolate else (u0, gr0)
+        carry_fin, ys = jax.lax.scan(step, carry0, ts)
+        u_fin = carry_fin[0]
         ys["times"] = ts
         ys["final_u"] = u_fin
         return ys
@@ -340,7 +355,8 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
                                vary_material: str = "p_sample",
                                dtype=jnp.float32, rtol: float = 1e-6,
                                maxiter: int = 4000,
-                               fixed_iters: int | None = None):
+                               fixed_iters: int | None = None,
+                               warm_start: str = "previous"):
     """Batched sweep kernel on an imported unstructured mesh:
     simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces (B, S, W) —
     the unstructured mirror of ``sweepkernel.make_sweep_fn`` (one vmapped
@@ -356,7 +372,7 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=False,
-        differentiable=fixed_iters is None)
+        differentiable=fixed_iters is None, warm_start=warm_start)
     base_k = jnp.asarray(problem.kappas, dtype)
     rc = jnp.asarray(problem.rho_cvs, dtype)
     n = len(problem.mesh.nodes)

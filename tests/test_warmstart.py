@@ -66,6 +66,48 @@ def test_sweep_extrapolated_seed_beats_previous_at_fixed_iters():
                                rtol=0, atol=1e-7)
 
 
+def test_unstructured_warm_start_honored_and_seed_independent():
+    """ELL/overlay-path wiring: warm_start='extrapolate' genuinely changes
+    the unconverged fixed-budget trajectory, and at tight tolerance the
+    result is seed-independent. (Whether extrapolation WINS on unstructured
+    meshes is regime-dependent — at the coarse dt of tiny test problems the
+    field changes too fast between steps for linear extrapolation to help,
+    unlike the measured flagship regime in BENCHMARKS.md — so the
+    accuracy-ordering assertion lives in the structured tests above.)"""
+    from heatflow_tpu.geometry import build_layout
+    from heatflow_tpu.mesh.unstructured_gen import build_unstructured_mesh
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
+                                               make_simulate_fn_unstructured)
+    from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
+
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["timing"]["num_steps"] = 6
+    domain, mats = build_layout(cfg)
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=3)
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                           temp=df["temp"].to_numpy())
+    problem = build_problem_unstructured(umesh, heating, cfg)
+
+    def run(ws, **kw):
+        fn = make_simulate_fn_unstructured(
+            problem, dtype=jnp.float64, record_gradient=False,
+            warm_start=ws, **kw)
+        return np.asarray(fn()["final_u"])
+
+    # the knob is honored: unconverged trajectories differ
+    u_prev = run("previous", fixed_iters=10)
+    u_extr = run("extrapolate", fixed_iters=10)
+    assert np.max(np.abs(u_prev - u_extr)) > 1e-6
+
+    # converged answers are seed-independent
+    t_prev = run("previous", rtol=1e-12)
+    t_extr = run("extrapolate", rtol=1e-12)
+    np.testing.assert_allclose(t_extr, t_prev, rtol=0,
+                               atol=1e-8 * np.abs(t_prev).max())
+
+
 def test_extrapolation_converges_to_same_solution():
     problem, _ = g._tiny_flagship(size_scale=24.0)
     outs = []
