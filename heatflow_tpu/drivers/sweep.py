@@ -237,7 +237,8 @@ def main(argv=None):
                         "(parallelism is the vmapped device-sharded batch)")
     p.add_argument("--solver", choices=["xla", "vmem"], default="xla",
                    help="'vmem': per-config VMEM-resident Pallas CG "
-                        "(fastest on TPU; requires --fixed-iters)")
+                        "(fastest on TPU; fixed budget with --fixed-iters, "
+                        "tolerance-based otherwise)")
     p.add_argument("--fixed-iters", type=int, default=None,
                    help="fixed CG iterations per step (static control flow)")
     p.add_argument("--warm-start", choices=["previous", "extrapolate"],
@@ -247,8 +248,6 @@ def main(argv=None):
                         "see BENCHMARKS.md)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
-    if args.solver == "vmem" and args.fixed_iters is None:
-        p.error("--solver vmem requires --fixed-iters")
     if any(x <= 0 for x in args.num_points):
         p.error("Number of points must be positive")
     for rng_name in ("fwhm_range", "k_range", "width_range"):

@@ -333,6 +333,102 @@ def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     )(dks, A0, Kv, sm, b, x0)
 
 
+def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, Kv_ref, sm_ref, b_ref,
+                         x0_ref, x_ref, it_ref, *, maxiter: int,
+                         rtol_wrt: str):
+    """Tolerance-based per-config solve for the sweep engine: one grid step
+    combines this config's operator on-chip and runs the whole while_loop CG
+    (stopping rule identical to ops.cg.pcg: ||r|| <= rtol·||b|| for 'b',
+    ·||r0|| for 'r0'; convergence checked every CHECK_EVERY iterations, so
+    iteration counts can exceed the XLA path's by up to CHECK_EVERY-1 —
+    free extra accuracy, never less)."""
+    b_idx = pl.program_id(0)
+    dk = dk_ref[b_idx]
+    C = A0_ref[:] + dk * Kv_ref[:]
+    sm = sm_ref[0]
+    b = b_ref[0]
+    x = x0_ref[0]
+
+    def apply_op(y):
+        return sm * _apply7(C, sm * y)
+
+    r = b - apply_op(x)
+    p = r
+    rz = jnp.sum(r * r)
+    rtol = rtol_ref[0, 0]
+    ref2 = rz if rtol_wrt == "r0" else jnp.sum(b * b)
+    stop2 = rtol * rtol * ref2
+
+    def cond(state):
+        _x, _r, _p, _rz, k = state
+        return jnp.logical_and(k < maxiter, _rz > stop2)
+
+    def one_iter(_i, state):
+        x, r, p, rz = state
+        Ap = apply_op(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rz_new = jnp.sum(r * r)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = r + beta * p
+        return (x, r, p, rz_new)
+
+    def body(state):
+        x, r, p, rz, k = state
+        x, r, p, rz = jax.lax.fori_loop(0, CHECK_EVERY, one_iter,
+                                        (x, r, p, rz))
+        return (x, r, p, rz, k + CHECK_EVERY)
+
+    x, r, p, rz, k = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32)))
+    x_ref[0] = x
+    it_ref[b_idx] = k     # whole (B,) SMEM buffer, persists across steps
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter", "rtol_wrt",
+                                             "interpret"))
+def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
+                        sm: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
+                        rtol: float | jnp.ndarray, *, maxiter: int = 4000,
+                        rtol_wrt: str = "b", interpret: bool = False):
+    """Tolerance-based batched per-config VMEM CG (grid over configs).
+
+    Same operator convention as ``cg_vmem_batched`` but each config runs to
+    ||r|| <= rtol·||b|| (or ·||r0||) instead of a fixed budget — converged
+    accuracy at VMEM speed, the sweep twin of ``cg_vmem_tol``. Returns
+    (x (B, Nz, Nr), iters (B,) int32).
+    """
+    B, nz, nr = b.shape
+    npts = A0.shape[0]
+    rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
+    per_cfg = pl.BlockSpec((1, nz, nr), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    shared = pl.BlockSpec((npts, nz, nr), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    x, it = pl.pallas_call(
+        functools.partial(_sweep_cg_tol_kernel, maxiter=maxiter,
+                          rtol_wrt=rtol_wrt),
+        grid=(B,),
+        out_shape=(jax.ShapeDtypeStruct((B, nz, nr), b.dtype),
+                   jax.ShapeDtypeStruct((B,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  shared, shared, per_cfg, per_cfg, per_cfg],
+        out_specs=(per_cfg,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET),
+        cost_estimate=pl.CostEstimate(
+            flops=B * maxiter * 24 * nz * nr // 4,
+            bytes_accessed=(14 + 4 * B) * nz * nr * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(dks, rtol_arr, A0, Kv, sm, b, x0)
+    return x, it
+
+
 def masked_scaled_operator(A: jnp.ndarray, free: jnp.ndarray):
     """Prepare the kernel's operator: symmetric Jacobi scaling + exact
     Dirichlet row/column elimination baked into the coefficients.

@@ -77,7 +77,18 @@ def make_simulate_fn(problem: Problem2D,
     initial residual, so the same rtol buys strictly better absolute
     accuracy; the speed win comes from loosening rtol back to the matched
     trace-accuracy point (measured in BENCHMARKS.md).
+
+    Memoized per problem (problem.extras) keyed by every argument: repeated
+    calls with identical parameters return the same compiled callable
+    instead of re-tracing (same convention as sweepkernel.make_sweep_fn).
     """
+    cache_key = ("simulate_fn", jnp.dtype(dtype).name, rtol, maxiter,
+                 fixed_iters, proj_rtol, proj_maxiter, record_gradient,
+                 record_fields, precondition, rtol_wrt, solver,
+                 vmem_cheb_degree, warm_start)
+    cache = problem.extras.setdefault("_fn_cache", {})
+    if cache_key in cache:
+        return cache[cache_key]
     dev = problem.device_arrays(dtype)
     num_steps = int(problem.num_steps)
     dt = jnp.asarray(problem.dt, dtype)
@@ -240,6 +251,7 @@ def make_simulate_fn(problem: Problem2D,
                       jnp.asarray(t0, dtype), src)
 
     simulate.core = _core
+    cache[cache_key] = simulate
     return simulate
 
 

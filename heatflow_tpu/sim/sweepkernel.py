@@ -50,16 +50,33 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     ``solver='vmem'``: per-config VMEM-resident Pallas CG solves
     (ops.pallas_cg.cg_vmem_batched — the XLA path re-reads the operator
     from HBM every CG iteration; the Pallas grid keeps the shared stencils
-    and the whole solve on-chip). Requires ``fixed_iters``; the trajectory
-    matches the XLA path's ``pcg_fixed`` exactly. Runs in interpreter mode
-    off-TPU so CPU tests cover the same kernel.
+    and the whole solve on-chip). With ``fixed_iters`` the trajectory
+    matches the XLA path's ``pcg_fixed`` exactly; without, each config runs
+    a tolerance-based solve to ``rtol`` (cg_vmem_batched_tol — converged
+    accuracy at VMEM speed; stops on ||r|| <= rtol·||b|| like the XLA
+    ``pcg_solve`` path, checked every 8 iterations). Runs in interpreter
+    mode off-TPU so CPU tests cover the same kernels.
 
     ``warm_start='extrapolate'``: seed each step's CG with 2·u_n − u_{n−1}
     instead of u_n — free per iteration, and with ``fixed_iters`` it buys
     the same accuracy at a smaller iteration budget (measured on the sweep
     benchmark in BENCHMARKS.md). Both solver paths use the same seeds, so
     vmem/XLA trajectory equality is preserved.
+
+    The built function is memoized on ``problem.extras`` keyed by every
+    argument: repeated calls with identical parameters return the SAME
+    compiled callable instead of re-tracing (re-tracing a fresh jit per call
+    measured 4-7 configs/s where the cached path sustains ~30 — see
+    BENCHMARKS.md). Mutating the problem in place after the first call does
+    not invalidate the cache; build a new Problem2D instead.
     """
+    cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
+                 maxiter, fixed_iters, precondition,
+                 int(problem.num_steps if num_steps is None else num_steps),
+                 mesh, solver, warm_start)
+    cache = problem.extras.setdefault("_fn_cache", {})
+    if cache_key in cache:
+        return cache[cache_key]
     dev = problem.device_arrays(dtype)
     num_steps = int(problem.num_steps if num_steps is None else num_steps)
     dt = jnp.asarray(problem.dt, dtype)
@@ -146,7 +163,8 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
 
     def batched_vmem(ops, ks, fs, u0, t0):
         """Whole-batch scan with the per-config Pallas VMEM solver."""
-        from heatflow_tpu.ops.pallas_cg import cg_vmem_batched
+        from heatflow_tpu.ops.pallas_cg import (cg_vmem_batched,
+                                                cg_vmem_batched_tol)
         interpret = jax.default_backend() != "tpu"
         free, dirich = ops["free"], ops["dirich"]
         dks = (jnp.asarray(ks, dtype) - base_k) * dt
@@ -169,8 +187,13 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             Bv = (apply_Mb(U) - apply_Ab(dks, G)) * sm
             seed = 2.0 * U - U_pp if extrapolate else U
             Y0 = seed / s * free
-            X = cg_vmem_batched(ops["A0"], ops["K_var"], dks, sm, Bv, Y0,
-                                iters=fixed_iters, interpret=interpret)
+            if fixed_iters is not None:
+                X = cg_vmem_batched(ops["A0"], ops["K_var"], dks, sm, Bv, Y0,
+                                    iters=fixed_iters, interpret=interpret)
+            else:
+                X, _it = cg_vmem_batched_tol(
+                    ops["A0"], ops["K_var"], dks, sm, Bv, Y0, rtol,
+                    maxiter=maxiter, interpret=interpret)
             Un = X * sm + G
             return (Un, U), Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
 
@@ -181,9 +204,6 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         return jnp.swapaxes(traces, 0, 1), u_fin
 
     if solver == "vmem":
-        if fixed_iters is None:
-            raise ValueError("solver='vmem' needs fixed_iters (the whole "
-                             "solve is one on-chip kernel)")
         if mesh is not None and ("z" in mesh.axis_names
                                  and mesh.shape["z"] > 1):
             raise ValueError("solver='vmem' shards the config axis only "
@@ -298,6 +318,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     simulate_batch.ic_temp = float(problem.ic_temp)
     simulate_batch.dt = float(problem.dt)
     simulate_batch.times = (np.arange(1, num_steps + 1) * problem.dt)
+    cache[cache_key] = simulate_batch
     return simulate_batch
 
 

@@ -141,7 +141,17 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     warm_start='extrapolate' seeds each step's CG with 2·u_n − u_{n−1}
     instead of u_n (same semantics as the structured stepper; measured
     trade-offs in BENCHMARKS.md).
+
+    Memoized per problem (same convention as sweepkernel.make_sweep_fn):
+    identical arguments return the same compiled callable — re-tracing a
+    fresh jit per call costs far more than the run itself on small chunks.
     """
+    cache_key = ("sim_fn", jnp.dtype(dtype).name, rtol, maxiter, fixed_iters,
+                 proj_rtol, proj_maxiter, record_gradient, record_fields,
+                 rtol_wrt, differentiable, solver, warm_start)
+    cache = problem.__dict__.setdefault("_fn_cache", {})
+    if cache_key in cache:
+        return cache[cache_key]
     from heatflow_tpu.ops.cg import pcg_fixed, pcg_solve
     from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
     nodes = problem.mesh.nodes
@@ -348,6 +358,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
 
     simulate.core = _core
     simulate.dev = dev
+    cache[cache_key] = simulate
     return simulate
 
 
@@ -361,7 +372,13 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces (B, S, W) —
     the unstructured mirror of ``sweepkernel.make_sweep_fn`` (one vmapped
     scan instead of one process per config, ref parameter_sweep.py:436-446).
-    Differentiable in both inputs."""
+    Differentiable in both inputs. Memoized per problem like the structured
+    maker."""
+    cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
+                 maxiter, fixed_iters, warm_start)
+    cache = problem.__dict__.setdefault("_fn_cache", {})
+    if cache_key in cache:
+        return cache[cache_key]
     tag_order = sorted(problem.mesh.material_tags.items(),
                        key=lambda kv: kv[1])
     names = [nm for nm, _ in tag_order]
@@ -396,6 +413,7 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
 
     simulate_batch.times = (np.arange(1, problem.num_steps + 1) * problem.dt)
     simulate_batch.watcher_names = list(problem.watcher_names)
+    cache[cache_key] = simulate_batch
     return simulate_batch
 
 

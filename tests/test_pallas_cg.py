@@ -145,10 +145,43 @@ def test_sweep_fn_vmem_matches_xla(sweep_setup):
                                atol=1e-11 * np.abs(ref).max())
 
 
-def test_sweep_fn_vmem_requires_fixed_iters(sweep_setup):
+def test_cg_vmem_batched_tol_converges_per_config(system):
+    """The tolerance-based batched kernel solves every config to its
+    stopping rule (||r|| <= rtol ||b||, same as ops.cg.pcg) and reports
+    per-config iteration counts."""
+    from heatflow_tpu.ops.pallas_cg import cg_vmem_batched_tol
+    A, sm, free, b, x_true = system
+    Kv = 0.05 * A
+    dks = jnp.asarray([0.0, 0.3, -0.2])
+    B = len(dks)
+    bb = jnp.stack([b, 1.5 * b, 0.7 * b])
+    smb = jnp.stack([sm] * B)
+    rtol = 1e-9
+    x, it = cg_vmem_batched_tol(A, Kv, dks, smb, bb, jnp.zeros_like(bb),
+                                rtol, maxiter=400, interpret=True)
+    it = np.asarray(it)
+    assert (it > 0).all() and (it < 400).all()
+    for i in range(B):
+        Ai = A + dks[i] * Kv
+        r = np.asarray(bb[i] - sm * apply_stencil(Ai, sm * x[i]))
+        assert np.linalg.norm(r) <= rtol * np.linalg.norm(np.asarray(bb[i]))
+
+
+def test_sweep_fn_vmem_tolerance_mode(sweep_setup):
+    """make_sweep_fn(solver='vmem') without fixed_iters runs the
+    tolerance-based batched kernel; traces agree with the XLA pcg_solve
+    path at the same rtol (the kernel checks convergence every 8
+    iterations, so it may converge slightly tighter — never looser)."""
     from heatflow_tpu.sim.sweepkernel import make_sweep_fn
-    with pytest.raises(ValueError, match="fixed_iters"):
-        make_sweep_fn(sweep_setup, solver="vmem")
+    problem = sweep_setup
+    ks = np.array([2.0, 3.8, 7.0])
+    fs = np.array([5e-6, 6e-6, 8e-6])
+    ref = np.asarray(make_sweep_fn(problem, dtype=jnp.float64,
+                                   rtol=1e-11, maxiter=20000)(ks, fs))
+    got = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-11,
+                                   maxiter=20000, solver="vmem")(ks, fs))
+    np.testing.assert_allclose(got, ref, rtol=0,
+                               atol=1e-7 * np.abs(ref).max())
 
 
 def test_kernel_supports_9point_overlay_stencils(system):

@@ -128,3 +128,19 @@ def test_sweep_driver_artifacts(tmp_path):
     # mesh reuse: one mesh folder per width
     mesh_dirs = os.listdir(tmp_path / "meshes")
     assert len(mesh_dirs) == 2
+
+
+def test_make_sweep_fn_is_memoized(sweep_problem):
+    """Identical arguments return the SAME compiled callable (re-tracing a
+    fresh jit per call measured 4-7 configs/s on TPU where the cached path
+    sustains ~30 — BENCHMARKS.md); different arguments get their own."""
+    _cfg, problem, _ = sweep_problem
+    a = make_sweep_fn(problem, dtype=jnp.float64, fixed_iters=4)
+    b = make_sweep_fn(problem, dtype=jnp.float64, fixed_iters=4)
+    c = make_sweep_fn(problem, dtype=jnp.float64, fixed_iters=5)
+    assert a is b and a is not c
+
+    from heatflow_tpu.sim.stepper import make_simulate_fn
+    s1 = make_simulate_fn(problem, dtype=jnp.float64, record_gradient=False)
+    s2 = make_simulate_fn(problem, dtype=jnp.float64, record_gradient=False)
+    assert s1 is s2
