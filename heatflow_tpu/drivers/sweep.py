@@ -135,18 +135,17 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
         if isinstance(mesh_w, UnstructuredMesh):
             # imported / generated non-grid mesh → unstructured sweep kernel
-            # (config-axis sharding not composed with this path yet)
-            if solver == "vmem":
-                raise ValueError(
-                    "solver='vmem' is not available for unstructured-mesh "
-                    "sweeps; the overlay/ELL kernel runs via solver='xla'")
+            # (config-axis sharding not composed with this path yet;
+            # solver='vmem' runs grid-overlay meshes through the same
+            # per-config VMEM Pallas kernels as structured sweeps)
             from heatflow_tpu.sim.unstructured import (
                 build_problem_unstructured, make_sweep_fn_unstructured)
             problem = build_problem_unstructured(mesh_w, heating, cfg_w,
                                                  watcher_points=wp)
             sweep_fn = make_sweep_fn_unstructured(problem, dtype=dtype,
                                                   fixed_iters=fixed_iters,
-                                                  warm_start=warm_start)
+                                                  warm_start=warm_start,
+                                                  solver=solver)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)

@@ -253,11 +253,13 @@ def cg_vmem(C: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
     )(C, b, x0)
 
 
-def fits_in_vmem_batched(nz: int, nr: int, dtype=jnp.float32) -> bool:
-    """Working set of the batched sweep kernel: shared A0+K_var (14 planes),
-    the per-config combined operator (7), and ~6 solution-sized vectors."""
+def fits_in_vmem_batched(nz: int, nr: int, dtype=jnp.float32,
+                         n_points: int = 7) -> bool:
+    """Working set of the batched sweep kernel: shared A0+K_var
+    (2·n_points planes), the per-config combined operator (n_points), and
+    ~6 solution-sized vectors."""
     bytes_per = jnp.dtype(dtype).itemsize
-    return (14 + 7 + 6) * nz * nr * bytes_per < VMEM_BUDGET
+    return (3 * n_points + 6) * nz * nr * bytes_per < VMEM_BUDGET
 
 
 def _sweep_cg_kernel(dk_ref, A0_ref, Kv_ref, sm_ref, b_ref, x0_ref, x_ref,

@@ -26,6 +26,55 @@ from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
 from heatflow_tpu.sim.problem import Problem2D
 
 
+def vmem_sweep_scan(ops, ks, fs, u0, t0, *, dtype, ic, dt, num_steps,
+                    base_k, fixed_iters, rtol, maxiter, extrapolate):
+    """Whole-batch backward-Euler scan with the per-config Pallas VMEM
+    solvers (shared by the structured sweep engine and the grid-overlay
+    unstructured one). ``ops`` needs stencils A0/K_var/M_op (7- or 9-point,
+    lattice layout), masks free/dirich, r_sq, heating-line ``base``, the
+    heating curve heat_t/heat_T, and flat watcher ids ``watch``. Returns
+    (traces (B, S, W), u_fin (B, Nz, Nr))."""
+    from heatflow_tpu.ops.pallas_cg import (cg_vmem_batched,
+                                            cg_vmem_batched_tol)
+    interpret = jax.default_backend() != "tpu"
+    free, dirich = ops["free"], ops["dirich"]
+    dks = (jnp.asarray(ks, dtype) - base_k) * dt
+    diag = ops["A0"][0][None] + dks[:, None, None] * ops["K_var"][0][None]
+    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
+    sm = s * free
+    amp_offset = ops["heat_T"][0] - ic
+    coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) \
+        / (jnp.asarray(fs, dtype) ** 2)
+    profiles = jnp.exp(coeff[:, None, None] * ops["r_sq"][None]) \
+        * ops["base"][None]
+    apply_Ab = jax.vmap(lambda dk, v: apply_stencil(ops["A0"], v)
+                        + dk * apply_stencil(ops["K_var"], v))
+    apply_Mb = jax.vmap(lambda v: apply_stencil(ops["M_op"], v))
+
+    def step(carry, t):
+        U, U_pp = carry
+        amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
+        G = ic * dirich + (amp - ic) * profiles
+        Bv = (apply_Mb(U) - apply_Ab(dks, G)) * sm
+        seed = 2.0 * U - U_pp if extrapolate else U
+        Y0 = seed / s * free
+        if fixed_iters is not None:
+            X = cg_vmem_batched(ops["A0"], ops["K_var"], dks, sm, Bv, Y0,
+                                iters=fixed_iters, interpret=interpret)
+        else:
+            X, _it = cg_vmem_batched_tol(
+                ops["A0"], ops["K_var"], dks, sm, Bv, Y0, rtol,
+                maxiter=maxiter, interpret=interpret)
+        Un = X * sm + G
+        return (Un, U), Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
+
+    ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt \
+        + jnp.asarray(t0, dtype)
+    u00 = jnp.asarray(u0, dtype)
+    (u_fin, _), traces = jax.lax.scan(step, (u00, u00), ts)
+    return jnp.swapaxes(traces, 0, 1), u_fin
+
+
 def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                   dtype=jnp.float32, rtol: float = 1e-6,
                   maxiter: int = 4000, fixed_iters: int | None = None,
@@ -162,46 +211,10 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         return traces, u_fin
 
     def batched_vmem(ops, ks, fs, u0, t0):
-        """Whole-batch scan with the per-config Pallas VMEM solver."""
-        from heatflow_tpu.ops.pallas_cg import (cg_vmem_batched,
-                                                cg_vmem_batched_tol)
-        interpret = jax.default_backend() != "tpu"
-        free, dirich = ops["free"], ops["dirich"]
-        dks = (jnp.asarray(ks, dtype) - base_k) * dt
-        diag = ops["A0"][0][None] + dks[:, None, None] * ops["K_var"][0][None]
-        s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
-        sm = s * free
-        amp_offset = ops["heat_T"][0] - ic
-        coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) \
-            / (jnp.asarray(fs, dtype) ** 2)
-        profiles = jnp.exp(coeff[:, None, None] * ops["r_sq"][None]) \
-            * ops["base"][None]
-        apply_Ab = jax.vmap(lambda dk, v: apply_stencil(ops["A0"], v)
-                            + dk * apply_stencil(ops["K_var"], v))
-        apply_Mb = jax.vmap(lambda v: apply_stencil(ops["M_op"], v))
-
-        def step(carry, t):
-            U, U_pp = carry
-            amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
-            G = ic * dirich + (amp - ic) * profiles
-            Bv = (apply_Mb(U) - apply_Ab(dks, G)) * sm
-            seed = 2.0 * U - U_pp if extrapolate else U
-            Y0 = seed / s * free
-            if fixed_iters is not None:
-                X = cg_vmem_batched(ops["A0"], ops["K_var"], dks, sm, Bv, Y0,
-                                    iters=fixed_iters, interpret=interpret)
-            else:
-                X, _it = cg_vmem_batched_tol(
-                    ops["A0"], ops["K_var"], dks, sm, Bv, Y0, rtol,
-                    maxiter=maxiter, interpret=interpret)
-            Un = X * sm + G
-            return (Un, U), Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
-
-        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt \
-            + jnp.asarray(t0, dtype)
-        u00 = jnp.asarray(u0, dtype)
-        (u_fin, _), traces = jax.lax.scan(step, (u00, u00), ts)
-        return jnp.swapaxes(traces, 0, 1), u_fin
+        return vmem_sweep_scan(ops, ks, fs, u0, t0, dtype=dtype, ic=ic,
+                               dt=dt, num_steps=num_steps, base_k=base_k,
+                               fixed_iters=fixed_iters, rtol=rtol,
+                               maxiter=maxiter, extrapolate=extrapolate)
 
     if solver == "vmem":
         if mesh is not None and ("z" in mesh.axis_names

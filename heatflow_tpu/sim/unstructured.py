@@ -362,20 +362,96 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     return simulate
 
 
+def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
+                             dtype, rtol, maxiter, fixed_iters, warm_start):
+    """VMEM-kernel sweep path for grid-overlay meshes: prepare the lattice
+    ops dict and delegate to the shared ``sweepkernel.vmem_sweep_scan``."""
+    from heatflow_tpu.ops.overlay import ell_to_stencils, validate_overlay
+    from heatflow_tpu.ops.stencil import combine_operator
+    from heatflow_tpu.sim.sweepkernel import vmem_sweep_scan
+
+    overlay = getattr(problem.mesh, "grid_overlay", None)
+    if overlay is None:
+        raise ValueError("solver='vmem' needs a grid-overlay mesh (the "
+                         "VMEM sweep kernel is stencil-form only)")
+    n = len(problem.mesh.nodes)
+    idx_np, oshape = validate_overlay(n, overlay)
+    inv_np = np.argsort(idx_np)
+    stn = getattr(problem, "_overlay_stencils", None)
+    if stn is None:
+        stn = ell_to_stencils(problem.ell, overlay)
+        problem._overlay_stencils = stn
+    nz, nr = oshape
+    if jax.default_backend() == "tpu":
+        from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
+        if not fits_in_vmem_batched(nz, nr, dtype, n_points=9):
+            raise ValueError(
+                f"sweep working set for the {nz}x{nr} overlay exceeds the "
+                "VMEM budget; use solver='xla'")
+
+    dt = jnp.asarray(problem.dt, dtype)
+    ic = jnp.asarray(problem.ic_temp, dtype)
+    K = jnp.asarray(stn["K"], dtype)          # (n_mats, 9, Nz, Nr)
+    M = jnp.asarray(stn["M"], dtype)
+    A0, M_op = combine_operator(K, M, jnp.asarray(problem.kappas, dtype),
+                                jnp.asarray(problem.rho_cvs, dtype), dt)
+    remap = lambda v: np.asarray(v)[inv_np].reshape(oshape)
+    nodes = problem.mesh.nodes
+    ops = {
+        "A0": A0, "K_var": K[m_idx], "M_op": M_op,
+        "free": jnp.asarray(remap(~problem.dirichlet), dtype),
+        "dirich": jnp.asarray(remap(problem.dirichlet), dtype),
+        "r_sq": jnp.asarray(remap(nodes[:, 1] ** 2), dtype),
+        "base": jnp.asarray(remap(problem.heat_mask), dtype),
+        "heat_t": jnp.asarray(problem.heating.time, dtype),
+        "heat_T": jnp.asarray(problem.heating.temp, dtype),
+        "watch": jnp.asarray(idx_np[np.asarray(problem.watcher_nodes)]),
+    }
+    base_k = float(problem.kappas[m_idx])
+    num_steps = int(problem.num_steps)
+    extrapolate = warm_start == "extrapolate"
+
+    def _batched(ops, ks, fs):
+        B = len(ks)
+        u0 = jnp.full((B, nz, nr), ic, dtype)
+        tr, _ = vmem_sweep_scan(ops, ks, fs, u0, 0.0, dtype=dtype, ic=ic,
+                                dt=dt, num_steps=num_steps, base_k=base_k,
+                                fixed_iters=fixed_iters, rtol=rtol,
+                                maxiter=maxiter, extrapolate=extrapolate)
+        return tr
+
+    batched = jax.jit(_batched)
+
+    def simulate_batch(sample_k, fwhm):
+        return batched(ops, jnp.asarray(sample_k, dtype),
+                       jnp.asarray(fwhm, dtype))
+
+    simulate_batch.times = (np.arange(1, num_steps + 1) * problem.dt)
+    simulate_batch.watcher_names = list(problem.watcher_names)
+    return simulate_batch
+
+
 def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
                                vary_material: str = "p_sample",
                                dtype=jnp.float32, rtol: float = 1e-6,
                                maxiter: int = 4000,
                                fixed_iters: int | None = None,
-                               warm_start: str = "previous"):
+                               warm_start: str = "previous",
+                               solver: str = "xla"):
     """Batched sweep kernel on an imported unstructured mesh:
     simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces (B, S, W) —
     the unstructured mirror of ``sweepkernel.make_sweep_fn`` (one vmapped
     scan instead of one process per config, ref parameter_sweep.py:436-446).
     Differentiable in both inputs. Memoized per problem like the structured
-    maker."""
+    maker.
+
+    ``solver='vmem'`` (grid-overlay meshes only): the exactly-assembled
+    unstructured operator, in its permuted-9-point-stencil lattice form,
+    runs through the same per-config VMEM Pallas kernels as structured
+    sweeps — fixed budget with ``fixed_iters``, tolerance-based to ``rtol``
+    otherwise. Imported-gmsh sweeps at VMEM speed."""
     cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
-                 maxiter, fixed_iters, warm_start)
+                 maxiter, fixed_iters, warm_start, solver)
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -385,6 +461,15 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     m_idx = names.index(vary_material)
     if problem.watcher_nodes is None:
         raise ValueError("sweeps need watcher points on the problem")
+
+    if solver == "vmem":
+        simulate_batch = _sweep_vmem_unstructured(
+            problem, m_idx, dtype=dtype, rtol=rtol, maxiter=maxiter,
+            fixed_iters=fixed_iters, warm_start=warm_start)
+        cache[cache_key] = simulate_batch
+        return simulate_batch
+    if solver != "xla":
+        raise ValueError(f"unknown solver {solver!r}")
 
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
