@@ -29,7 +29,7 @@ import pandas as pd
 from heatflow_tpu.config import load_config, save_config, with_parameters
 from heatflow_tpu.drivers.run2d import _prepare_mesh, default_dtype
 from heatflow_tpu.geometry import coupler_watcher_points
-from heatflow_tpu.io.csvio import write_watcher_csv
+from heatflow_tpu.io.csvio import write_gradient_csv, write_watcher_csv
 from heatflow_tpu.sim.bc import HeatingCurve
 from heatflow_tpu.sim.problem import build_problem
 from heatflow_tpu.sim.sweepkernel import make_sweep_fn
@@ -67,7 +67,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         save_run_dirs: bool = True, devices=None,
                         solver: str = "xla",
                         fixed_iters: int | None = None,
-                        warm_start: str = "previous"):
+                        warm_start: str = "previous",
+                        record_gradient: bool = False):
     """Run the sweep. ``num_processes`` is accepted for API parity and
     ignored — parallelism is the vmapped batch, sharded over ``devices``
     (default: all of ``jax.devices()``) along the batch axis; each device
@@ -104,6 +105,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                   + (f" sharded over {n_conf} devices" if mesh else ""),
         "solver": solver,
         "fixed_iters": fixed_iters,
+        "record_gradient": record_gradient,
         "devices": [str(d) for d in devs],
         "timestamp": datetime.now().isoformat(),
         "watcher_points": {
@@ -145,13 +147,29 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             sweep_fn = make_sweep_fn_unstructured(problem, dtype=dtype,
                                                   fixed_iters=fixed_iters,
                                                   warm_start=warm_start,
-                                                  solver=solver)
+                                                  solver=solver,
+                                                  record_gradient=
+                                                  record_gradient)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
-            sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
-                                     solver=solver, fixed_iters=fixed_iters,
-                                     warm_start=warm_start)
+            if record_gradient:
+                # full-stepper vmapped sweep: every run also gets the
+                # reference's per-run gradient CSVs (ref run_no_diamond.py
+                # :602-617 under parameter_sweep.py:157-166)
+                if solver == "vmem":
+                    raise ValueError("record_gradient sweeps run the full "
+                                     "stepper; use solver='xla'")
+                from heatflow_tpu.sim.sweepkernel import \
+                    make_sweep_fn_recording
+                sweep_fn = make_sweep_fn_recording(
+                    problem, dtype=dtype, fixed_iters=fixed_iters,
+                    warm_start=warm_start, mesh=mesh)
+            else:
+                sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
+                                         solver=solver,
+                                         fixed_iters=fixed_iters,
+                                         warm_start=warm_start)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])
@@ -162,16 +180,24 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         chunk = batch_size or min(B, 64)
         chunk = max(n_conf, (chunk // n_conf) * n_conf)
         t_group = time.time()
-        traces = []
+        traces, bands, axes_rows = [], [], []
         for s in range(0, B, chunk):
             from heatflow_tpu.utils import pad_to_multiple
             ks_c, fs_c = ks[s:s + chunk], fs[s:s + chunk]
             n_c = len(ks_c)
             ks_c = pad_to_multiple(ks_c, n_conf)
             fs_c = pad_to_multiple(fs_c, n_conf)
-            tr = sweep_fn(ks_c, fs_c)
-            traces.append(np.asarray(tr)[:n_c])
+            out = sweep_fn(ks_c, fs_c)
+            if record_gradient:
+                traces.append(np.asarray(out["watch"])[:n_c])
+                bands.append(np.asarray(out["band"])[:n_c])
+                axes_rows.append(np.asarray(out["axis"])[:n_c])
+            else:
+                traces.append(np.asarray(out)[:n_c])
         traces = np.concatenate(traces, axis=0)      # (B, S, W)
+        if record_gradient:
+            bands = np.concatenate(bands, axis=0)
+            axes_rows = np.concatenate(axes_rows, axis=0)
         group_runtime = time.time() - t_group
 
         times = sweep_fn.times
@@ -193,6 +219,14 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         os.path.join(run_dir, "watcher_points.csv"), times,
                         {n: traces[i, :, j] for j, n in
                          enumerate(problem.watcher_names)})
+                    if record_gradient:
+                        write_gradient_csv(
+                            os.path.join(run_dir, "radial_gradient.csv"),
+                            times, sweep_fn.band_centers, bands[i])
+                        write_gradient_csv(
+                            os.path.join(run_dir,
+                                         "radial_gradient_raw.csv"),
+                            times, sweep_fn.axis_z, axes_rows[i])
                     save_config(
                         with_parameters(base_config, fwhm=combo["fwhm"],
                                         sample_k=combo["k"], sample_z=width),
@@ -240,6 +274,10 @@ def main(argv=None):
                         "tolerance-based otherwise)")
     p.add_argument("--fixed-iters", type=int, default=None,
                    help="fixed CG iterations per step (static control flow)")
+    p.add_argument("--record-gradient", action="store_true",
+                   help="also write radial_gradient[_raw].csv per run "
+                        "(full-stepper sweep with the per-step projection, "
+                        "matching the reference's per-run artifacts)")
     p.add_argument("--warm-start", choices=["previous", "extrapolate"],
                    default="previous",
                    help="CG seed per step: previous field, or 2u_n - u_{n-1} "
@@ -259,7 +297,7 @@ def main(argv=None):
         tuple(args.num_points), base_mesh_folder=args.mesh_folder,
         suppress_print=not args.verbose, batch_size=args.batch_size,
         solver=args.solver, fixed_iters=args.fixed_iters,
-        warm_start=args.warm_start)
+        warm_start=args.warm_start, record_gradient=args.record_gradient)
 
 
 if __name__ == "__main__":

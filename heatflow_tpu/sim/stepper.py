@@ -251,6 +251,8 @@ def make_simulate_fn(problem: Problem2D,
                       jnp.asarray(t0, dtype), src)
 
     simulate.core = _core
+    simulate.dev = dev
+    simulate.mg = mg_host
     cache[cache_key] = simulate
     return simulate
 

@@ -335,6 +335,79 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     return simulate_batch
 
 
+def make_sweep_fn_recording(problem: Problem2D, *,
+                            vary_material: str = "p_sample",
+                            dtype=jnp.float32, rtol: float = 1e-6,
+                            maxiter: int = 4000,
+                            fixed_iters: int | None = None,
+                            warm_start: str = "previous", mesh=None):
+    """Full-surface sweep: the COMPLETE stepper (watcher + radial-gradient
+    accumulation, per-step r-weighted L2 projection) vmapped over configs —
+    the artifact-parity mode matching the reference, where every sweep run
+    writes radial_gradient[_raw].csv (ref parameter_sweep.py:157-166 →
+    run_no_diamond.py:602-617). Costs one extra projection solve per step
+    per config vs ``make_sweep_fn``; use it when sweep members feed the
+    2D→fit→1D pipeline. Returns simulate_batch(ks, fs) -> dict with
+    ``watch`` (B, S, W), ``band`` (B, S, n_bins), ``axis`` (B, S, Nz).
+
+    ``mesh``: shard the batch over the mesh's 'config' axis (batch size
+    must be a multiple of the axis size — callers pad)."""
+    from heatflow_tpu.sim.stepper import make_simulate_fn
+    cache_key = ("sweep_fn_rec", vary_material, jnp.dtype(dtype).name, rtol,
+                 maxiter, fixed_iters, warm_start, mesh)
+    cache = problem.extras.setdefault("_fn_cache", {})
+    if cache_key in cache:
+        return cache[cache_key]
+    if problem.radial is None:
+        raise ValueError("gradient-recording sweeps need radial sampling "
+                         "on the problem")
+    fn = make_simulate_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
+                          fixed_iters=fixed_iters, record_gradient=True,
+                          warm_start=warm_start)
+    m_idx = list(problem.mesh.material_tags).index(vary_material)
+    base_kp = np.asarray(problem.kappas, float)
+    rc = jnp.asarray(problem.rho_cvs, dtype)
+    nz, nr = problem.mesh.shape
+    ic = jnp.asarray(problem.ic_temp, dtype)
+
+    def _batched(dev, mg, kps, fs, u0):
+        return jax.vmap(
+            lambda kp, f, u: fn.core(dev, mg, kp, rc, f, u,
+                                     jnp.asarray(0.0, dtype), None),
+            in_axes=(0, 0, 0))(kps, fs, u0)
+
+    if mesh is None:
+        batched = jax.jit(_batched)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        cfg_sh = NamedSharding(mesh, P("config"))
+        batched = jax.jit(
+            _batched,
+            in_shardings=(jax.tree.map(lambda _: rep, fn.dev),
+                          jax.tree.map(lambda _: rep, fn.mg),
+                          cfg_sh, cfg_sh,
+                          NamedSharding(mesh, P("config", None, None))),
+            out_shardings=cfg_sh)
+
+    def simulate_batch(sample_k, fwhm):
+        B = len(np.asarray(sample_k))
+        kps = np.repeat(base_kp[None], B, axis=0)
+        kps[:, m_idx] = np.asarray(sample_k)
+        u0 = jnp.full((B, nz, nr), ic, dtype)
+        ys = batched(fn.dev, fn.mg, jnp.asarray(kps, dtype),
+                     jnp.asarray(fwhm, dtype), u0)
+        ys["times"] = np.asarray(ys["times"][0])
+        return ys
+
+    simulate_batch.times = (np.arange(1, problem.num_steps + 1) * problem.dt)
+    simulate_batch.band_centers = problem.radial.bin_centers
+    simulate_batch.axis_z = problem.radial.axis_z
+    simulate_batch.watcher_names = list(problem.watcher_names)
+    cache[cache_key] = simulate_batch
+    return simulate_batch
+
+
 def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
                            step_chunk: int = 10, dtype=jnp.float32,
                            fixed_iters: int | None = None,

@@ -437,7 +437,8 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
                                maxiter: int = 4000,
                                fixed_iters: int | None = None,
                                warm_start: str = "previous",
-                               solver: str = "xla"):
+                               solver: str = "xla",
+                               record_gradient: bool = False):
     """Batched sweep kernel on an imported unstructured mesh:
     simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces (B, S, W) —
     the unstructured mirror of ``sweepkernel.make_sweep_fn`` (one vmapped
@@ -449,9 +450,14 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     unstructured operator, in its permuted-9-point-stencil lattice form,
     runs through the same per-config VMEM Pallas kernels as structured
     sweeps — fixed budget with ``fixed_iters``, tolerance-based to ``rtol``
-    otherwise. Imported-gmsh sweeps at VMEM speed."""
+    otherwise. Imported-gmsh sweeps at VMEM speed.
+
+    ``record_gradient=True`` (solver='xla' only): each config additionally
+    accumulates band/axis radial-gradient rows (the reference's per-run
+    gradient CSVs, ref run_no_diamond.py:602-617); ``simulate_batch`` then
+    returns the full dict instead of bare traces."""
     cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
-                 maxiter, fixed_iters, warm_start, solver)
+                 maxiter, fixed_iters, warm_start, solver, record_gradient)
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -463,6 +469,9 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
         raise ValueError("sweeps need watcher points on the problem")
 
     if solver == "vmem":
+        if record_gradient:
+            raise ValueError("record_gradient sweeps run the full stepper; "
+                             "use solver='xla'")
         simulate_batch = _sweep_vmem_unstructured(
             problem, m_idx, dtype=dtype, rtol=rtol, maxiter=maxiter,
             fixed_iters=fixed_iters, warm_start=warm_start)
@@ -473,8 +482,9 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
 
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
-        fixed_iters=fixed_iters, record_gradient=False,
-        differentiable=fixed_iters is None, warm_start=warm_start)
+        fixed_iters=fixed_iters, record_gradient=record_gradient,
+        differentiable=fixed_iters is None and not record_gradient,
+        warm_start=warm_start)
     base_k = jnp.asarray(problem.kappas, dtype)
     rc = jnp.asarray(problem.rho_cvs, dtype)
     n = len(problem.mesh.nodes)
@@ -484,6 +494,8 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     def one(dev, k, f, u0, t0):
         kp = base_k.at[m_idx].set(k)
         ys = fn.core(dev, kp, rc, f, u0, t0, None)
+        if record_gradient:
+            return ys
         return ys["watch"], ys["final_u"]
 
     batched = jax.jit(lambda dev, ks, fs, u0, t0: jax.vmap(
@@ -492,12 +504,19 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     def simulate_batch(sample_k, fwhm):
         B = len(np.asarray(sample_k))
         u0 = jnp.full((B, n), ic, dtype)
-        return batched(fn.dev, jnp.asarray(sample_k, dtype),
-                       jnp.asarray(fwhm, dtype), u0,
-                       jnp.asarray(0.0, dtype))[0]
+        out = batched(fn.dev, jnp.asarray(sample_k, dtype),
+                      jnp.asarray(fwhm, dtype), u0,
+                      jnp.asarray(0.0, dtype))
+        if record_gradient:
+            out["times"] = np.asarray(out["times"][0])
+            return out
+        return out[0]
 
     simulate_batch.times = (np.arange(1, problem.num_steps + 1) * problem.dt)
     simulate_batch.watcher_names = list(problem.watcher_names)
+    if record_gradient:
+        simulate_batch.band_centers = problem.bin_centers
+        simulate_batch.axis_z = problem.axis_z
     cache[cache_key] = simulate_batch
     return simulate_batch
 

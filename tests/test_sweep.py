@@ -144,3 +144,49 @@ def test_make_sweep_fn_is_memoized(sweep_problem):
     s1 = make_simulate_fn(problem, dtype=jnp.float64, record_gradient=False)
     s2 = make_simulate_fn(problem, dtype=jnp.float64, record_gradient=False)
     assert s1 is s2
+
+
+def test_sweep_record_gradient_artifacts(tmp_path):
+    """record_gradient=True sweeps write the reference's per-run gradient
+    CSVs (ref parameter_sweep.py:157-166 runs the full run_simulation,
+    which always emits radial_gradient[_raw].csv, run_no_diamond.py
+    :602-617) — and the rows equal a direct full-stepper run."""
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    cfg_path = tmp_path / "base.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    width = float(cfg["mats"]["p_sample"]["z"])
+
+    out = str(tmp_path / "sweep_out")
+    results, failed = run_parameter_sweep(
+        str(cfg_path), out, (4e-6, 8e-6), (2.0, 6.0), (width, width),
+        (2, 2, 1), base_mesh_folder=str(tmp_path / "meshes"),
+        suppress_print=True, dtype=jnp.float64, record_gradient=True)
+    assert len(results) == 4 and not failed
+
+    df = pd.read_csv(os.path.join(out, "successful_runs.csv"))
+    rec = df.iloc[0]
+    band = pd.read_csv(os.path.join(rec["output_dir"],
+                                    "radial_gradient.csv"), index_col=0)
+    raw = pd.read_csv(os.path.join(rec["output_dir"],
+                                   "radial_gradient_raw.csv"), index_col=0)
+    assert band.index.name == "time" and raw.index.name == "time"
+    assert np.isfinite(raw.values).all() and np.abs(raw.values).max() > 0
+
+    # rows equal a direct full run at the same parameters
+    from heatflow_tpu.config import with_parameters
+    cfg_i = with_parameters(cfg, fwhm=rec["fwhm"], sample_k=rec["k"],
+                            sample_z=width)
+    domain, mats = build_layout(cfg_i)
+    mesh = build_structured_mesh(domain, mats)
+    problem = build_problem(mesh, HeatingCurve.from_csv(str(heat_csv)),
+                            cfg_i,
+                            watcher_points=coupler_watcher_points(cfg_i))
+    res = run_transient(problem, dtype=jnp.float64, rtol=1e-6,
+                        record_gradient=True, record_fields=False)
+    np.testing.assert_allclose(raw.values, res.axis_rows, rtol=1e-6,
+                               atol=1e-6 * np.abs(res.axis_rows).max())
