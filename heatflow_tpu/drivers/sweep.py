@@ -68,7 +68,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         solver: str = "xla",
                         fixed_iters: int | None = None,
                         warm_start: str = "previous",
-                        record_gradient: bool = False):
+                        record_gradient: bool = False,
+                        rtol: float | None = None):
     """Run the sweep. ``num_processes`` is accepted for API parity and
     ignored — parallelism is the vmapped batch, sharded over ``devices``
     (default: all of ``jax.devices()``) along the batch axis; each device
@@ -77,6 +78,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     del write_xdmf  # per-run XDMF in sweeps is supported only via run2d
     dtype = dtype or (jnp.float32 if jax.default_backend() != "cpu"
                       else default_dtype())
+    rtol_kw = {} if rtol is None else {"rtol": rtol}
     devs = list(devices) if devices is not None else jax.devices()
     mesh = None
     if len(devs) > 1:
@@ -149,7 +151,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                                                   warm_start=warm_start,
                                                   solver=solver,
                                                   record_gradient=
-                                                  record_gradient)
+                                                  record_gradient,
+                                                  **rtol_kw)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
@@ -164,12 +167,12 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                     make_sweep_fn_recording
                 sweep_fn = make_sweep_fn_recording(
                     problem, dtype=dtype, fixed_iters=fixed_iters,
-                    warm_start=warm_start, mesh=mesh)
+                    warm_start=warm_start, mesh=mesh, **rtol_kw)
             else:
                 sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
                                          solver=solver,
                                          fixed_iters=fixed_iters,
-                                         warm_start=warm_start)
+                                         warm_start=warm_start, **rtol_kw)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])
@@ -274,6 +277,9 @@ def main(argv=None):
                         "tolerance-based otherwise)")
     p.add_argument("--fixed-iters", type=int, default=None,
                    help="fixed CG iterations per step (static control flow)")
+    p.add_argument("--rtol", type=float, default=None,
+                   help="CG stopping tolerance for tolerance-based solves "
+                        "(default: engine default 1e-6)")
     p.add_argument("--record-gradient", action="store_true",
                    help="also write radial_gradient[_raw].csv per run "
                         "(full-stepper sweep with the per-step projection, "
@@ -297,7 +303,8 @@ def main(argv=None):
         tuple(args.num_points), base_mesh_folder=args.mesh_folder,
         suppress_print=not args.verbose, batch_size=args.batch_size,
         solver=args.solver, fixed_iters=args.fixed_iters,
-        warm_start=args.warm_start, record_gradient=args.record_gradient)
+        warm_start=args.warm_start, record_gradient=args.record_gradient,
+        rtol=args.rtol)
 
 
 if __name__ == "__main__":

@@ -361,9 +361,12 @@ def make_sweep_fn_recording(problem: Problem2D, *,
     if problem.radial is None:
         raise ValueError("gradient-recording sweeps need radial sampling "
                          "on the problem")
+    # rtol_wrt='b' matches the plain sweep path's pcg_solve stopping rule,
+    # so toggling record_gradient does not change watcher traces at a
+    # given rtol (the stepper's own default is the warm-start-relative 'r0')
     fn = make_simulate_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
                           fixed_iters=fixed_iters, record_gradient=True,
-                          warm_start=warm_start)
+                          warm_start=warm_start, rtol_wrt="b")
     m_idx = list(problem.mesh.material_tags).index(vary_material)
     base_kp = np.asarray(problem.kappas, float)
     rc = jnp.asarray(problem.rho_cvs, dtype)

@@ -119,6 +119,23 @@ def build_problem_unstructured(mesh: UnstructuredMesh, heating: HeatingCurve,
         axis_z=z[axis_nodes])
 
 
+def _overlay_prep(problem: ProblemUnstructured):
+    """(idx, inv, shape, stencils) of the mesh's lattice embedding, or None
+    when the mesh has no grid overlay. idx maps node id → flat lattice
+    position; inv the reverse. The stencil conversion is cached on the
+    problem (shared by the simulate and sweep paths)."""
+    from heatflow_tpu.ops.overlay import ell_to_stencils, validate_overlay
+    overlay = getattr(problem.mesh, "grid_overlay", None)
+    if overlay is None:
+        return None
+    idx_np, oshape = validate_overlay(len(problem.mesh.nodes), overlay)
+    stn = getattr(problem, "_overlay_stencils", None)
+    if stn is None:
+        stn = ell_to_stencils(problem.ell, overlay)
+        problem._overlay_stencils = stn
+    return idx_np, np.argsort(idx_np), oshape, stn
+
+
 def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                   dtype=jnp.float64, rtol=1e-11,
                                   maxiter=20000, fixed_iters=None,
@@ -189,14 +206,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                      or dtype != jnp.float32):
                 use_vmem = False  # off-TPU / non-f32: use the XLA path
     if overlay is not None:
-        from heatflow_tpu.ops.overlay import (ell_to_stencils,
-                                              validate_overlay)
-        idx_np, oshape = validate_overlay(n, overlay)
-        inv_np = np.argsort(idx_np)
-        stn = getattr(problem, "_overlay_stencils", None)
-        if stn is None:
-            stn = ell_to_stencils(problem.ell, overlay)
-            problem._overlay_stencils = stn
+        idx_np, inv_np, oshape, stn = _overlay_prep(problem)
         remap = lambda v: np.asarray(v)[inv_np]
         node_ids = lambda ids: idx_np[np.asarray(ids)]
         dev = {"K": jnp.asarray(stn["K"], dtype),
@@ -366,23 +376,19 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
                              dtype, rtol, maxiter, fixed_iters, warm_start):
     """VMEM-kernel sweep path for grid-overlay meshes: prepare the lattice
     ops dict and delegate to the shared ``sweepkernel.vmem_sweep_scan``."""
-    from heatflow_tpu.ops.overlay import ell_to_stencils, validate_overlay
+    from heatflow_tpu.ops.overlay import node_to_lattice
     from heatflow_tpu.ops.stencil import combine_operator
     from heatflow_tpu.sim.sweepkernel import vmem_sweep_scan
 
-    overlay = getattr(problem.mesh, "grid_overlay", None)
-    if overlay is None:
+    prep = _overlay_prep(problem)
+    if prep is None:
         raise ValueError("solver='vmem' needs a grid-overlay mesh (the "
                          "VMEM sweep kernel is stencil-form only)")
-    n = len(problem.mesh.nodes)
-    idx_np, oshape = validate_overlay(n, overlay)
-    inv_np = np.argsort(idx_np)
-    stn = getattr(problem, "_overlay_stencils", None)
-    if stn is None:
-        stn = ell_to_stencils(problem.ell, overlay)
-        problem._overlay_stencils = stn
+    idx_np, _inv_np, oshape, stn = prep
     nz, nr = oshape
     if jax.default_backend() == "tpu":
+        if dtype != jnp.float32:
+            raise ValueError("the VMEM kernel is f32-only on TPU")
         from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
         if not fits_in_vmem_batched(nz, nr, dtype, n_points=9):
             raise ValueError(
@@ -395,7 +401,7 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
     M = jnp.asarray(stn["M"], dtype)
     A0, M_op = combine_operator(K, M, jnp.asarray(problem.kappas, dtype),
                                 jnp.asarray(problem.rho_cvs, dtype), dt)
-    remap = lambda v: np.asarray(v)[inv_np].reshape(oshape)
+    remap = lambda v: node_to_lattice(np.asarray(v), idx_np, oshape)
     nodes = problem.mesh.nodes
     ops = {
         "A0": A0, "K_var": K[m_idx], "M_op": M_op,

@@ -165,7 +165,8 @@ def test_sweep_record_gradient_artifacts(tmp_path):
     results, failed = run_parameter_sweep(
         str(cfg_path), out, (4e-6, 8e-6), (2.0, 6.0), (width, width),
         (2, 2, 1), base_mesh_folder=str(tmp_path / "meshes"),
-        suppress_print=True, dtype=jnp.float64, record_gradient=True)
+        suppress_print=True, dtype=jnp.float64, record_gradient=True,
+        rtol=1e-10)
     assert len(results) == 4 and not failed
 
     df = pd.read_csv(os.path.join(out, "successful_runs.csv"))
@@ -186,7 +187,12 @@ def test_sweep_record_gradient_artifacts(tmp_path):
     problem = build_problem(mesh, HeatingCurve.from_csv(str(heat_csv)),
                             cfg_i,
                             watcher_points=coupler_watcher_points(cfg_i))
-    res = run_transient(problem, dtype=jnp.float64, rtol=1e-6,
+    res = run_transient(problem, dtype=jnp.float64, rtol=1e-10,
                         record_gradient=True, record_fields=False)
-    np.testing.assert_allclose(raw.values, res.axis_rows, rtol=1e-6,
-                               atol=1e-6 * np.abs(res.axis_rows).max())
+    # both converged tight (the stopping rules differ — sweep 'b' vs
+    # stepper 'r0' — so gradient rows, which amplify solution error by
+    # ~1/h, only agree when both solves are deep in convergence)
+    np.testing.assert_allclose(raw.values, res.axis_rows, rtol=1e-5,
+                               atol=1e-5 * np.abs(res.axis_rows).max())
+    np.testing.assert_allclose(band.values, res.band_rows, rtol=1e-5,
+                               atol=1e-5 * np.abs(res.band_rows).max())
