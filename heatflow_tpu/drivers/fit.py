@@ -24,7 +24,9 @@ import numpy as np
 import optax
 
 from heatflow_tpu.sim.problem import Problem2D
-from heatflow_tpu.sim.sweepkernel import make_sweep_fn, normalized_oside_rmse
+from heatflow_tpu.sim.sweepkernel import (make_sweep_fn,
+                                          normalized_oside_residuals,
+                                          normalized_oside_rmse)
 
 
 @dataclass
@@ -36,6 +38,30 @@ class FitResult:
     sweep_k: np.ndarray | None = None
     sweep_fwhm: np.ndarray | None = None
     sweep_rmse: np.ndarray | None = None
+    k_stderr: float | None = None
+    fwhm_stderr: float | None = None
+    corr: float | None = None
+
+
+def fit_uncertainty(objective, k: float, fwhm: float, *, dtype=jnp.float64):
+    """Gauss–Newton (Laplace) standard errors at a fitted optimum.
+
+    The residual Jacobian J = ∂r/∂(κ, FWHM) is exact — two tangent solves
+    through the implicit-diff CG (jax.jacfwd over pcg_solve) — and the
+    parameter covariance is σ² (JᵀJ)⁻¹ with σ² = RSS/(N−2), the standard
+    nonlinear-least-squares error model (what scipy.curve_fit reports; the
+    reference's grid scans provide no uncertainties at all). Returns
+    (k_stderr, fwhm_stderr, correlation)."""
+    theta = jnp.asarray([k, fwhm], dtype)
+    res_fn = lambda th: objective.residuals(th[0], th[1])
+    r = np.asarray(res_fn(theta))
+    J = np.asarray(jax.jacfwd(res_fn)(theta))          # (N, 2)
+    n, p = len(r), 2
+    sigma2 = float(r @ r) / max(1, n - p)
+    cov = sigma2 * np.linalg.inv(J.T @ J)
+    se = np.sqrt(np.diag(cov))
+    corr = float(cov[0, 1] / (se[0] * se[1])) if se.all() else 0.0
+    return float(se[0]), float(se[1]), corr
 
 
 def experimental_objective(problem, *, dtype=jnp.float64,
@@ -77,8 +103,14 @@ def experimental_objective(problem, *, dtype=jnp.float64,
             tr = fn1(kappas=kp, fwhm=fwhm)["watch"]
             return normalized_oside_rmse(times, tr, exp_t, exp_o)
 
+        def residuals(k, fwhm):
+            kp = base_k.at[m_idx].set(k)
+            tr = fn1(kappas=kp, fwhm=fwhm)["watch"]
+            return normalized_oside_residuals(times, tr, exp_t, exp_o)
+
         objective.batch = lambda ks, fs: normalized_oside_rmse(
             times, fnb(ks, fs), exp_t, exp_o)
+        objective.residuals = residuals
         return objective
 
     fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter)
@@ -90,6 +122,8 @@ def experimental_objective(problem, *, dtype=jnp.float64,
 
     objective.batch = lambda ks, fs: normalized_oside_rmse(
         times, fn(ks, fs), exp_t, exp_o)
+    objective.residuals = lambda k, fwhm: normalized_oside_residuals(
+        times, fn.one_config(k, fwhm), exp_t, exp_o)
     return objective
 
 
@@ -98,7 +132,8 @@ def fit_parameters(problem, *, k_range=(1.0, 100.0),
                    adam_steps: int = 60, lr: float = 0.05,
                    dtype=jnp.float64, rtol: float = 1e-10,
                    verbose: bool = False,
-                   coarse_chunk: int = 8) -> FitResult:
+                   coarse_chunk: int = 8,
+                   uncertainty: bool = True) -> FitResult:
     """Coarse sweep + parallel Adam refinement in log space.
 
     Device calls are kept bounded (coarse sweep chunked by ``coarse_chunk``
@@ -171,10 +206,17 @@ def fit_parameters(problem, *, k_range=(1.0, 100.0),
     i = int(np.argmin(best_v))
     k_best = float(np.exp(np.clip(best_p[i, 0], lo_k, hi_k)))
     f_best = float(np.exp(np.clip(best_p[i, 1], lo_f, hi_f)))
+    k_se = f_se = corr = None
+    if uncertainty:
+        k_se, f_se, corr = fit_uncertainty(obj, k_best, f_best, dtype=dtype)
+        if verbose:
+            print(f"uncertainty (Gauss-Newton): k ± {k_se:.4f}, "
+                  f"FWHM ± {f_se:.3e}, corr {corr:+.3f}")
     return FitResult(k=k_best, fwhm=f_best, rmse=float(best_v[i]),
                      history=np.asarray(hist).tolist(),
                      sweep_k=flat_k, sweep_fwhm=flat_f,
-                     sweep_rmse=sweep_rmse)
+                     sweep_rmse=sweep_rmse,
+                     k_stderr=k_se, fwhm_stderr=f_se, corr=corr)
 
 
 def main(argv=None):
@@ -212,6 +254,10 @@ def main(argv=None):
                          verbose=True)
     print(f"BEST FIT: k = {res.k:.4f} W/m/K, FWHM = {res.fwhm:.4e} m, "
           f"o-side RMSE = {res.rmse:.6f}")
+    if res.k_stderr is not None:
+        print(f"          k = {res.k:.4f} ± {res.k_stderr:.4f} W/m/K, "
+              f"FWHM = {res.fwhm:.4e} ± {res.fwhm_stderr:.3e} m "
+              f"(1σ Gauss-Newton, corr {res.corr:+.3f})")
 
 
 if __name__ == "__main__":

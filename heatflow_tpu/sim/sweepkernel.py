@@ -462,12 +462,13 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     return np.concatenate(pieces, axis=1)[:B]
 
 
-def normalized_oside_rmse(times, traces, exp_time, exp_oside_normed,
-                          pside_col: int = 0, oside_col: int = 1):
-    """On-device sweep objective: the reference's fit metric — normalized
-    o-side RMSE against the experimental trace (ref no_diamond.py:65-99,
-    analysis_utils.py:66-93). traces: (..., S, W). Differentiable, so sweeps
-    can be replaced by gradient-based fitting."""
+def normalized_oside_residuals(times, traces, exp_time, exp_oside_normed,
+                               pside_col: int = 0, oside_col: int = 1):
+    """Per-experimental-point residuals of the reference's fit metric
+    (normalized o-side trace minus experiment, ref no_diamond.py:65-99):
+    traces (..., S, W) -> residuals (..., N_exp). Differentiable — the
+    Jacobian ∂residuals/∂(κ, FWHM) through the implicit-diff solve is what
+    parameter standard errors are built from (drivers/fit.py)."""
     pside = traces[..., pside_col]
     oside = traces[..., oside_col]
     denom = pside.max(axis=-1) - pside.min(axis=-1)
@@ -479,5 +480,15 @@ def normalized_oside_rmse(times, traces, exp_time, exp_oside_normed,
     flat = normed.reshape((-1, normed.shape[-1]))
     sim_at_exp = jax.vmap(interp_one)(flat)
     sim_at_exp = sim_at_exp.reshape(normed.shape[:-1] + (len(exp_time),))
-    err = sim_at_exp - exp_oside_normed
+    return sim_at_exp - exp_oside_normed
+
+
+def normalized_oside_rmse(times, traces, exp_time, exp_oside_normed,
+                          pside_col: int = 0, oside_col: int = 1):
+    """On-device sweep objective: the reference's fit metric — normalized
+    o-side RMSE against the experimental trace (ref no_diamond.py:65-99,
+    analysis_utils.py:66-93). traces: (..., S, W). Differentiable, so sweeps
+    can be replaced by gradient-based fitting."""
+    err = normalized_oside_residuals(times, traces, exp_time,
+                                     exp_oside_normed, pside_col, oside_col)
     return jnp.sqrt(jnp.mean(err * err, axis=-1))

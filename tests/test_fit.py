@@ -98,3 +98,35 @@ def test_fit_recovers_parameters_unstructured():
                          n_starts=2, adam_steps=30, lr=0.08, rtol=1e-11)
     assert res.rmse < 1e-3
     assert res.k == pytest.approx(K_TRUE, rel=0.15)
+
+
+def test_residual_jacobian_and_uncertainty(problem_with_target):
+    """The residual Jacobian through the implicit-diff solve matches finite
+    differences, and Gauss-Newton standard errors at the optimum are
+    finite, positive, and small for a near-perfectly-consistent synthetic
+    target."""
+    import jax
+    from heatflow_tpu.drivers.fit import fit_uncertainty
+
+    obj = experimental_objective(problem_with_target, rtol=1e-12)
+    theta = jnp.asarray([K_TRUE, FWHM_TRUE], jnp.float64)
+    res_fn = lambda th: obj.residuals(th[0], th[1])
+    J = np.asarray(jax.jacfwd(res_fn)(theta))
+    assert J.shape[1] == 2 and np.isfinite(J).all()
+
+    # finite-difference check, relative step per parameter
+    for p in range(2):
+        h = 1e-6 * float(theta[p])
+        tp = theta.at[p].add(h)
+        tm = theta.at[p].add(-h)
+        fd = (np.asarray(res_fn(tp)) - np.asarray(res_fn(tm))) / (2 * h)
+        scale = np.abs(J[:, p]).max()
+        np.testing.assert_allclose(J[:, p], fd, rtol=1e-4,
+                                   atol=1e-5 * max(scale, 1e-30))
+
+    k_se, f_se, corr = fit_uncertainty(obj, K_TRUE, FWHM_TRUE)
+    assert np.isfinite([k_se, f_se, corr]).all()
+    assert k_se > 0 and f_se > 0 and -1.0 <= corr <= 1.0
+    # the synthetic target is the model itself: residuals are at solver
+    # tolerance, so the 1-sigma bars must be far below the parameter scale
+    assert k_se < 0.05 * K_TRUE and f_se < 0.05 * FWHM_TRUE
