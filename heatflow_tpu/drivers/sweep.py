@@ -69,12 +69,18 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         fixed_iters: int | None = None,
                         warm_start: str = "previous",
                         record_gradient: bool = False,
-                        rtol: float | None = None):
+                        rtol: float | None = None,
+                        resume: bool = False):
     """Run the sweep. ``num_processes`` is accepted for API parity and
     ignored — parallelism is the vmapped batch, sharded over ``devices``
     (default: all of ``jax.devices()``) along the batch axis; each device
     integrates its shard of configs independently (the multi-chip scaling of
-    the reference's process fan-out, ref parameter_sweep.py:436-446)."""
+    the reference's process fan-out, ref parameter_sweep.py:436-446).
+
+    ``resume=True``: runs already recorded as successful in the output
+    dir's successful_runs.csv are skipped (matched by run_name); previously
+    failed runs are retried. The merged result set is re-written. (Beyond
+    the reference, which restarts sweeps from scratch.)"""
     del write_xdmf  # per-run XDMF in sweeps is supported only via run2d
     dtype = dtype or (jnp.float32 if jax.default_backend() != "cpu"
                       else default_dtype())
@@ -96,6 +102,17 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     combos, fwhm_vals, k_vals, width_vals = create_parameter_grid(
         fwhm_range, k_range, width_range, num_points)
     os.makedirs(output_dir, exist_ok=True)
+
+    prior_records = []
+    done_names = set()
+    succ_csv = os.path.join(output_dir, "successful_runs.csv")
+    if resume and os.path.isfile(succ_csv):
+        prior = pd.read_csv(succ_csv)
+        prior_records = prior.to_dict("records")
+        done_names = set(prior["run_name"])
+        if not suppress_print:
+            print(f"resume: {len(done_names)} runs already recorded, "
+                  f"skipping them")
 
     metadata = {
         "base_config": base_config_name,
@@ -126,6 +143,12 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
 
     for width in width_vals:
         group = [c for c in combos if c["width"] == width]
+        if done_names:
+            group = [c for c in group
+                     if run_name(c["fwhm"], c["k"], width) not in done_names]
+            if not group:
+                total_done += sum(1 for c in combos if c["width"] == width)
+                continue
         mesh_folder = mesh_folder_for_width(base_mesh_folder, width)
         os.makedirs(mesh_folder, exist_ok=True)
         cfg_w = with_parameters(base_config, fwhm=group[0]["fwhm"],
@@ -241,9 +264,9 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             print(f"width {width:.2e}: {B} runs in {group_runtime:.2f}s "
                   f"({B / group_runtime:.1f} configs/s)")
 
+    results = prior_records + results
     if results:
-        pd.DataFrame(results).to_csv(
-            os.path.join(output_dir, "successful_runs.csv"), index=False)
+        pd.DataFrame(results).to_csv(succ_csv, index=False)
     if failed:
         pd.DataFrame(failed).to_csv(
             os.path.join(output_dir, "failed_runs.csv"), index=False)
@@ -277,6 +300,9 @@ def main(argv=None):
                         "tolerance-based otherwise)")
     p.add_argument("--fixed-iters", type=int, default=None,
                    help="fixed CG iterations per step (static control flow)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip runs already in successful_runs.csv; retry "
+                        "failed ones")
     p.add_argument("--rtol", type=float, default=None,
                    help="CG stopping tolerance for tolerance-based solves "
                         "(default: engine default 1e-6)")
@@ -304,7 +330,7 @@ def main(argv=None):
         suppress_print=not args.verbose, batch_size=args.batch_size,
         solver=args.solver, fixed_iters=args.fixed_iters,
         warm_start=args.warm_start, record_gradient=args.record_gradient,
-        rtol=args.rtol)
+        rtol=args.rtol, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -196,3 +196,41 @@ def test_sweep_record_gradient_artifacts(tmp_path):
                                atol=1e-5 * np.abs(res.axis_rows).max())
     np.testing.assert_allclose(band.values, res.band_rows, rtol=1e-5,
                                atol=1e-5 * np.abs(res.band_rows).max())
+
+
+def test_sweep_resume_skips_completed(tmp_path):
+    """--resume skips runs already in successful_runs.csv: a re-run after a
+    simulated partial sweep executes only the missing combos and the merged
+    CSV covers the full grid (beyond the reference, which restarts)."""
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    cfg_path = tmp_path / "base.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    width = float(cfg["mats"]["p_sample"]["z"])
+    out = str(tmp_path / "sweep_out")
+    kw = dict(base_mesh_folder=str(tmp_path / "meshes"),
+              suppress_print=True, dtype=jnp.float64)
+
+    results, failed = run_parameter_sweep(
+        str(cfg_path), out, (4e-6, 8e-6), (2.0, 6.0), (width, width),
+        (2, 2, 1), **kw)
+    assert len(results) == 4 and not failed
+
+    # simulate a crash that lost half the grid
+    df = pd.read_csv(os.path.join(out, "successful_runs.csv"))
+    kept = df.iloc[:2]
+    kept.to_csv(os.path.join(out, "successful_runs.csv"), index=False)
+
+    results2, failed2 = run_parameter_sweep(
+        str(cfg_path), out, (4e-6, 8e-6), (2.0, 6.0), (width, width),
+        (2, 2, 1), resume=True, **kw)
+    assert not failed2
+    merged = pd.read_csv(os.path.join(out, "successful_runs.csv"))
+    assert set(merged["run_name"]) == set(df["run_name"])
+    # only the two missing combos were re-executed
+    assert len(results2) == 4 and len(
+        [r for r in results2 if r["run_name"] in set(kept["run_name"])]) == 2
