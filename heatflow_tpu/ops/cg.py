@@ -94,6 +94,12 @@ def pcg(apply_op: Callable[[jnp.ndarray], jnp.ndarray],
     state = (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32))
     x, r, _z, _p, _rz, k = jax.lax.while_loop(cond, body, state)
     rnorm = jnp.sqrt(_dot(r, r))
+    # A non-finite residual (NaN parameters, overflow mid-solve) makes the
+    # while_loop cond false on its FIRST check, silently returning the
+    # finite seed as if converged. Poison the solution instead so failures
+    # propagate to the caller's finiteness masking (the sweep engine's
+    # failed_runs.csv, ref parameter_sweep.py:447-509's failure records).
+    x = jnp.where(jnp.isfinite(rnorm), x, jnp.nan)
     return CGResult(x=x, iters=k, residual=rnorm,
                     converged=_dot(r, r) <= stop2)
 

@@ -174,7 +174,9 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
 
     x, r, p, rz, rr, k = jax.lax.while_loop(
         cond, body, (x, r, p, rz, rr0, jnp.zeros((), jnp.int32)))
-    x_ref[:] = x
+    # non-finite residual → the loop never ran: poison x so failures are
+    # detectable downstream (same convention as ops/cg.pcg)
+    x_ref[:] = jnp.where(jnp.isfinite(rr), x, jnp.nan)
     it_ref[0, 0] = k
 
 
@@ -385,7 +387,9 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, Kv_ref, sm_ref, b_ref,
 
     x, r, p, rz, k = jax.lax.while_loop(
         cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32)))
-    x_ref[0] = x
+    # poison on non-finite residual (see ops/cg.pcg) — a NaN-parameter
+    # config must surface in failed_runs.csv, not return finite garbage
+    x_ref[0] = jnp.where(jnp.isfinite(rz), x, jnp.nan)
     it_ref[b_idx] = k     # whole (B,) SMEM buffer, persists across steps
 
 

@@ -234,3 +234,43 @@ def test_sweep_resume_skips_completed(tmp_path):
     # only the two missing combos were re-executed
     assert len(results2) == 4 and len(
         [r for r in results2 if r["run_name"] in set(kept["run_name"])]) == 2
+
+
+def test_nan_parameter_lane_is_poisoned_not_silent(sweep_problem):
+    """A non-finite parameter must NOT return finite garbage: the CG
+    while_loop's NaN-residual early exit used to return the (finite) seed
+    as if converged, evading the sweep's failure masking. Poisoned lanes
+    surface as NaN traces; healthy lanes are untouched."""
+    _cfg, problem, _ = sweep_problem
+    fn = make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-8)
+    tr = np.asarray(fn(np.array([4.0, np.nan, 7.0]),
+                       np.array([6e-6, 6e-6, 6e-6])))
+    finite = np.isfinite(tr).all(axis=(1, 2))
+    assert list(finite) == [True, False, True]
+
+    # tolerance-mode vmem kernel (interpreter) has the same convention
+    trv = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-8,
+                                   solver="vmem")(
+        np.array([4.0, np.nan, 7.0]), np.array([6e-6, 6e-6, 6e-6])))
+    finite_v = np.isfinite(trv).all(axis=(1, 2))
+    assert list(finite_v) == [True, False, True]
+
+
+def test_sweep_driver_records_failed_runs(tmp_path):
+    """Non-finite traces land in failed_runs.csv with error strings — the
+    reference's per-run failure records (ref parameter_sweep.py:447-509)."""
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    width = float(cfg["mats"]["p_sample"]["z"])
+    out = str(tmp_path / "sweep_out")
+    results, failed = run_parameter_sweep(
+        cfg, out, (4e-6, 8e-6), (np.nan, np.nan), (width, width),
+        (2, 1, 1), base_mesh_folder=str(tmp_path / "meshes"),
+        suppress_print=True, dtype=jnp.float64)
+    assert not results and len(failed) == 2
+    df = pd.read_csv(os.path.join(out, "failed_runs.csv"))
+    assert set(df["status"]) == {"failed"}
+    assert df["error"].str.contains("non-finite").all()
