@@ -51,11 +51,19 @@ def vmem_sweep_scan(ops, ks, fs, u0, t0, *, dtype, ic, dt, num_steps,
                         + dk * apply_stencil(ops["K_var"], v))
     apply_Mb = jax.vmap(lambda v: apply_stencil(ops["M_op"], v))
 
+    # the Dirichlet lift is affine in the interpolated amplitude:
+    # g(t) = g0 + amp(t)·g1, so A g is precomputed ONCE per scan (two
+    # batched applies) instead of twice per step — exact, not approximate
+    g0 = ic * (dirich - profiles)
+    g1 = profiles
+    Ag0 = apply_Ab(dks, g0)
+    Ag1 = apply_Ab(dks, g1)
+
     def step(carry, t):
         U, U_pp = carry
         amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
-        G = ic * dirich + (amp - ic) * profiles
-        Bv = (apply_Mb(U) - apply_Ab(dks, G)) * sm
+        G = g0 + amp * g1
+        Bv = (apply_Mb(U) - (Ag0 + amp * Ag1)) * sm
         seed = 2.0 * U - U_pp if extrapolate else U
         Y0 = seed / s * free
         if fixed_iters is not None:
@@ -186,12 +194,18 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         amp_offset = ops["heat_T"][0] - ic
         coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fwhm * fwhm)
         profile = jnp.exp(coeff * ops["r_sq"]) * ops["base"]
+        # affine-in-amplitude lift: A g precomputed once (see vmem_sweep_scan)
+        g0 = ic * (dirich - profile)
+        g1 = profile
+        Ag0 = apply_A(g0)
+        Ag1 = apply_A(g1)
 
         def step(carry, t):
             u_prev, u_pp = carry
             amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
-            g = ic * dirich + (amp - ic) * profile
-            b = (apply_stencil(ops["M_op"], u_prev) - apply_A(g)) * s * free
+            g = g0 + amp * g1
+            b = (apply_stencil(ops["M_op"], u_prev)
+                 - (Ag0 + amp * Ag1)) * s * free
             seed = 2.0 * u_prev - u_pp if extrapolate else u_prev
             y0 = (seed / jnp.where(s > 0, s, 1.0)) * free
             if fixed_iters is not None:

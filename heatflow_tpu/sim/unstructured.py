@@ -276,9 +276,12 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         b_src = 0.0 if source is None \
             else dt * apply_Mp(source)
 
-        def bc_values(t):
-            amp = jnp.interp(t, heat_t, heat_T) - amp_offset
-            return ic * dirich + (amp - ic) * profile
+        # affine-in-amplitude lift (see stepper._core): A g hoisted out of
+        # the scan — one apply per transient instead of one per step
+        g0 = ic * (dirich - profile)
+        g1 = profile
+        Ag0 = apply_A(g0)
+        Ag1 = apply_A(g1)
 
         extrapolate = warm_start == "extrapolate"
 
@@ -289,8 +292,9 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
             else:
                 u_prev, gr_prev = carry
                 seed = u_prev
-            g = bc_values(t)
-            b = (apply_M(u_prev) + b_src - apply_A(g)) * s
+            amp = jnp.interp(t, heat_t, heat_T) - amp_offset
+            g = g0 + amp * g1
+            b = (apply_M(u_prev) + b_src - (Ag0 + amp * Ag1)) * s
             y0 = (seed / jnp.where(s > 0, s, 1.0)) * free
             if differentiable:
                 x = pcg_solve(apply_s, b * free, y0, mask=free, rtol=rtol,
