@@ -169,13 +169,10 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                 build_problem_unstructured, make_sweep_fn_unstructured)
             problem = build_problem_unstructured(mesh_w, heating, cfg_w,
                                                  watcher_points=wp)
-            sweep_fn = make_sweep_fn_unstructured(problem, dtype=dtype,
-                                                  fixed_iters=fixed_iters,
-                                                  warm_start=warm_start,
-                                                  solver=solver,
-                                                  record_gradient=
-                                                  record_gradient,
-                                                  **rtol_kw)
+            sweep_fn = make_sweep_fn_unstructured(
+                problem, dtype=dtype, fixed_iters=fixed_iters,
+                warm_start=warm_start, solver=solver,
+                record_gradient=record_gradient, **rtol_kw)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
@@ -205,10 +202,10 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         # sharded chunks are padded to a multiple of the config-axis size
         chunk = batch_size or min(B, 64)
         chunk = max(n_conf, (chunk // n_conf) * n_conf)
+        from heatflow_tpu.utils import pad_to_multiple
         t_group = time.time()
         traces, bands, axes_rows = [], [], []
         for s in range(0, B, chunk):
-            from heatflow_tpu.utils import pad_to_multiple
             ks_c, fs_c = ks[s:s + chunk], fs[s:s + chunk]
             n_c = len(ks_c)
             ks_c = pad_to_multiple(ks_c, n_conf)
