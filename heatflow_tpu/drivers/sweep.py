@@ -185,9 +185,16 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                                      "stepper; use solver='xla'")
                 from heatflow_tpu.sim.sweepkernel import \
                     make_sweep_fn_recording
+                rec_rtol = rtol_kw
+                if not rec_rtol and jnp.dtype(dtype) == jnp.float32:
+                    # the maker's 1e-6 default (wrt ||b||) is below the f32
+                    # residual floor — every solve would run to maxiter;
+                    # use the documented f32 speed/accuracy point instead
+                    # (same default run2d applies, drivers/run2d.py)
+                    rec_rtol = {"rtol": 1e-4}
                 sweep_fn = make_sweep_fn_recording(
                     problem, dtype=dtype, fixed_iters=fixed_iters,
-                    warm_start=warm_start, mesh=mesh, **rtol_kw)
+                    warm_start=warm_start, mesh=mesh, **rec_rtol)
             else:
                 sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
                                          solver=solver,
@@ -202,6 +209,18 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         # sharded chunks are padded to a multiple of the config-axis size
         chunk = batch_size or min(B, 64)
         chunk = max(n_conf, (chunk // n_conf) * n_conf)
+        if (record_gradient and jax.default_backend() == "tpu"
+                and jnp.dtype(dtype) == jnp.float32):
+            # KNOWN LIMITATION (see make_sweep_fn_recording): the vmapped
+            # full-operator core diverges at B>=2 in f32 on this TPU stack;
+            # serialize — B=1 converges normally (one config per device
+            # when sharded)
+            chunk = n_conf
+            if not suppress_print:
+                print("record_gradient at f32 on TPU: serializing to "
+                      "batch=1 (vmapped full-operator core diverges at "
+                      "B>=2 on this XLA stack — see "
+                      "make_sweep_fn_recording docstring)")
         from heatflow_tpu.utils import pad_to_multiple
         t_group = time.time()
         traces, bands, axes_rows = [], [], []

@@ -5,7 +5,9 @@ The TPU-native replacement for PETSc KSP(PREONLY)+LU(MUMPS)
 backward-Euler step is an iterative solve against the matrix-free stencil
 operator. Everything is jit-compatible (lax.while_loop / lax.scan) and
 vmappable — under vmap the while_loop runs until every batch lane converges,
-with converged lanes masked automatically by JAX's batching rule.
+and pcg's body EXPLICITLY freezes converged lanes (JAX's batching rule keeps
+the loop going but does NOT mask body updates; an unfrozen lane iterated
+past convergence destabilizes in f32 — measured, see the body comment).
 
 Dirichlet rows are handled with a free-dof mask: the operator is applied to
 the full field but residuals/updates are restricted to free dofs, which keeps
@@ -71,28 +73,38 @@ def pcg(apply_op: Callable[[jnp.ndarray], jnp.ndarray],
     r0 = (bm - apply_op(x0) * msk) * msk
     z0 = pre(r0) * msk
     rz0 = _dot(r0, z0)
-    ref2 = _dot(r0, r0) if rtol_wrt == "r0" else _dot(bm, bm)
+    rr0 = _dot(r0, r0)
+    ref2 = rr0 if rtol_wrt == "r0" else _dot(bm, bm)
     stop2 = jnp.maximum(rtol * rtol * ref2, jnp.asarray(atol * atol, b.dtype))
 
     def cond(state):
-        _x, r, _z, _p, _rz, k = state
-        return jnp.logical_and(k < maxiter, _dot(r, r) > stop2)
+        _x, _r, _z, _p, _rz, rr2, k = state
+        return jnp.logical_and(k < maxiter, rr2 > stop2)
 
     def body(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, rr2, k = state
+        # Explicit per-lane freeze: under vmap, while_loop runs the body
+        # until EVERY lane's cond clears — without this gate, converged
+        # lanes keep iterating, and f32 CG driven past convergence goes
+        # unstable (measured: a lane converging in 42 iterations alone
+        # diverged to NaN after ~700 joint iterations in a batch).
+        active = rr2 > stop2
         Ap = apply_op(p) * msk
         pAp = _dot(p, Ap)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = pre(r) * msk
-        rz_new = _dot(r, z)
-        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-        p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        x_n = x + alpha * p
+        r_n = r - alpha * Ap
+        z_n = pre(r_n) * msk
+        rz_n = _dot(r_n, z_n)
+        beta = rz_n / jnp.where(rz != 0, rz, 1.0)
+        p_n = z_n + beta * p
+        rr2_n = _dot(r_n, r_n)
+        sel = lambda new, old: jnp.where(active, new, old)
+        return (sel(x_n, x), sel(r_n, r), sel(z_n, z), sel(p_n, p),
+                sel(rz_n, rz), sel(rr2_n, rr2), k + active.astype(jnp.int32))
 
-    state = (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32))
-    x, r, _z, _p, _rz, k = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, rz0, rr0, jnp.zeros((), jnp.int32))
+    x, r, _z, _p, _rz, _rr2, k = jax.lax.while_loop(cond, body, state)
     rnorm = jnp.sqrt(_dot(r, r))
     # A non-finite residual (NaN parameters, overflow mid-solve) makes the
     # while_loop cond false on its FIRST check, silently returning the

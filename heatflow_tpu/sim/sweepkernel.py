@@ -365,7 +365,19 @@ def make_sweep_fn_recording(problem: Problem2D, *,
     ``watch`` (B, S, W), ``band`` (B, S, n_bins), ``axis`` (B, S, Nz).
 
     ``mesh``: shard the batch over the mesh's 'config' axis (batch size
-    must be a multiple of the axis size — callers pad)."""
+    must be a multiple of the axis size — callers pad).
+
+    KNOWN LIMITATION (f32 on TPU, B >= 2): the vmapped full-operator core
+    fails to converge on this environment's XLA stack — the identical
+    config that converges in ~40 iterations at B=1 runs to maxiter and
+    NaNs when batched, even paired with a duplicate of itself. Every
+    primitive (batched stencil apply, batched operator combine, batched
+    reductions, vmapped pcg on a synthetic operator) measures
+    bitwise-correct in isolation; the failure needs the full composition
+    and is under investigation. Failing lanes surface as NaN
+    (failed_runs.csv), never as silent garbage. The sweep driver
+    serializes f32 TPU recording sweeps to B=1 as mitigation; f64 and CPU
+    batches are unaffected."""
     from heatflow_tpu.sim.stepper import make_simulate_fn
     cache_key = ("sweep_fn_rec", vary_material, jnp.dtype(dtype).name, rtol,
                  maxiter, fixed_iters, warm_start, mesh)
