@@ -54,12 +54,18 @@ def fit_uncertainty(objective, k: float, fwhm: float, *, dtype=jnp.float64):
     (k_stderr, fwhm_stderr, correlation)."""
     theta = jnp.asarray([k, fwhm], dtype)
     res_fn = lambda th: objective.residuals(th[0], th[1])
-    r = np.asarray(res_fn(theta))
-    J = np.asarray(jax.jacfwd(res_fn)(theta))          # (N, 2)
+    # jit the value+Jacobian pair: untraced jacfwd re-runs the full
+    # transient eagerly per tangent — minutes at flagship scale through
+    # remote compile; traced it is one compiled program
+    rJ_fn = jax.jit(lambda th: (res_fn(th), jax.jacfwd(res_fn)(th)))
+    r_dev, J_dev = rJ_fn(theta)
+    r, J = np.asarray(r_dev), np.asarray(J_dev)        # (N,), (N, 2)
     n, p = len(r), 2
     sigma2 = float(r @ r) / max(1, n - p)
-    cov = sigma2 * np.linalg.inv(J.T @ J)
-    se = np.sqrt(np.diag(cov))
+    # pinv: a singular JtJ (parameter pinned at a box bound, insensitive
+    # FWHM) must degrade to large/zero stderrs, not discard the whole fit
+    cov = sigma2 * np.linalg.pinv(J.T @ J)
+    se = np.sqrt(np.maximum(np.diag(cov), 0.0))
     corr = float(cov[0, 1] / (se[0] * se[1])) if se.all() else 0.0
     return float(se[0]), float(se[1]), corr
 

@@ -144,10 +144,13 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     for width in width_vals:
         group = [c for c in combos if c["width"] == width]
         if done_names:
+            n_all = len(group)
             group = [c for c in group
                      if run_name(c["fwhm"], c["k"], width) not in done_names]
+            # skipped runs still advance run_id so merged records from a
+            # partially-resumed width group never duplicate ids
+            total_done += n_all - len(group)
             if not group:
-                total_done += sum(1 for c in combos if c["width"] == width)
                 continue
         mesh_folder = mesh_folder_for_width(base_mesh_folder, width)
         os.makedirs(mesh_folder, exist_ok=True)
@@ -160,6 +163,15 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         heating = HeatingCurve.from_csv(cfg_w["heating"]["file"])
         wp = coupler_watcher_points(cfg_w)
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+        rec_rtol = rtol_kw
+        if (record_gradient and not rec_rtol
+                and jnp.dtype(dtype) == jnp.float32):
+            # the recording makers' 1e-6 default (wrt ||b||) is below the
+            # f32 residual floor — every solve would run to maxiter; use
+            # the documented f32 speed/accuracy point instead (same
+            # default run2d applies, drivers/run2d.py). Applies to both
+            # mesh kinds.
+            rec_rtol = {"rtol": 1e-4}
         if isinstance(mesh_w, UnstructuredMesh):
             # imported / generated non-grid mesh → unstructured sweep kernel
             # (config-axis sharding not composed with this path yet;
@@ -172,7 +184,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             sweep_fn = make_sweep_fn_unstructured(
                 problem, dtype=dtype, fixed_iters=fixed_iters,
                 warm_start=warm_start, solver=solver,
-                record_gradient=record_gradient, **rtol_kw)
+                record_gradient=record_gradient, **rec_rtol)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
@@ -185,13 +197,6 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                                      "stepper; use solver='xla'")
                 from heatflow_tpu.sim.sweepkernel import \
                     make_sweep_fn_recording
-                rec_rtol = rtol_kw
-                if not rec_rtol and jnp.dtype(dtype) == jnp.float32:
-                    # the maker's 1e-6 default (wrt ||b||) is below the f32
-                    # residual floor — every solve would run to maxiter;
-                    # use the documented f32 speed/accuracy point instead
-                    # (same default run2d applies, drivers/run2d.py)
-                    rec_rtol = {"rtol": 1e-4}
                 sweep_fn = make_sweep_fn_recording(
                     problem, dtype=dtype, fixed_iters=fixed_iters,
                     warm_start=warm_start, mesh=mesh, **rec_rtol)
@@ -209,18 +214,10 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         # sharded chunks are padded to a multiple of the config-axis size
         chunk = batch_size or min(B, 64)
         chunk = max(n_conf, (chunk // n_conf) * n_conf)
-        if (record_gradient and jax.default_backend() == "tpu"
-                and jnp.dtype(dtype) == jnp.float32):
-            # KNOWN LIMITATION (see make_sweep_fn_recording): the vmapped
-            # full-operator core diverges at B>=2 in f32 on this TPU stack;
-            # serialize — B=1 converges normally (one config per device
-            # when sharded)
-            chunk = n_conf
-            if not suppress_print:
-                print("record_gradient at f32 on TPU: serializing to "
-                      "batch=1 (vmapped full-operator core diverges at "
-                      "B>=2 on this XLA stack — see "
-                      "make_sweep_fn_recording docstring)")
+        if record_gradient:
+            # full-stepper chunks cost ~2 solves/step/config; keep device
+            # calls bounded on the relay (see run_sweep_time_chunked)
+            chunk = min(chunk, max(n_conf, (16 // n_conf) * n_conf))
         from heatflow_tpu.utils import pad_to_multiple
         t_group = time.time()
         traces, bands, axes_rows = [], [], []
@@ -244,6 +241,14 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
 
         times = sweep_fn.times
         ok = np.all(np.isfinite(traces), axis=(1, 2))
+        err_detail = np.where(ok, "", "non-finite trace").astype(object)
+        if record_gradient:
+            # a config whose gradient projection went non-finite must not
+            # be recorded as success with NaN-filled radial CSVs
+            ok_grad = (np.all(np.isfinite(bands), axis=(1, 2))
+                       & np.all(np.isfinite(axes_rows), axis=(1, 2)))
+            err_detail[ok & ~ok_grad] = "non-finite gradient projection"
+            ok = ok & ok_grad
         for i, combo in enumerate(group):
             total_done += 1
             name = run_name(combo["fwhm"], combo["k"], width)
@@ -253,7 +258,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                    "output_dir": run_dir,
                    "runtime": group_runtime / B,
                    "status": "success" if ok[i] else "failed",
-                   "error": None if ok[i] else "non-finite trace"}
+                   "error": None if ok[i] else str(err_detail[i])}
             if ok[i]:
                 if save_run_dirs:
                     os.makedirs(run_dir, exist_ok=True)
@@ -283,9 +288,13 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     results = prior_records + results
     if results:
         pd.DataFrame(results).to_csv(succ_csv, index=False)
+    failed_csv = os.path.join(output_dir, "failed_runs.csv")
     if failed:
-        pd.DataFrame(failed).to_csv(
-            os.path.join(output_dir, "failed_runs.csv"), index=False)
+        pd.DataFrame(failed).to_csv(failed_csv, index=False)
+    elif resume and os.path.isfile(failed_csv):
+        # every previously-failed run succeeded on retry; a stale
+        # failed_runs.csv would contradict the merged successful_runs.csv
+        os.remove(failed_csv)
 
     total_time = time.time() - t_sweep
     if not suppress_print:

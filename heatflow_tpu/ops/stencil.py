@@ -208,6 +208,34 @@ def stencil_transpose_apply(C: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def material_combine(coeffs: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
+    """Σ_m coeffs[..., m] · S[m], statically unrolled — NEVER a dot_general.
+
+    The material contraction is tiny (n_mats ≤ ~9) but its output is the
+    backward-Euler operator, whose symmetrically-scaled condition number is
+    ~1e6. Expressed as an einsum, XLA:TPU lowers it to an MXU dot_general at
+    DEFAULT precision — bf16-truncated inputs, a ~4e-3 relative perturbation
+    of the operator coefficients — *but only when the coefficients are
+    batched* (B ≥ 2); at B = 1 the degenerate dot simplifies to full-f32
+    multiply-adds. The perturbation pushes the smallest eigenvalues of the
+    scaled operator negative, so CG diverges on every lane of a batched
+    sweep while the identical single config converges (the round-2
+    "vmapped full-stepper divergence", root-caused via
+    jax.default_matmul_precision('highest') restoring exact B=1/B=2
+    iteration parity). An unrolled multiply-add chain is exact in f32 and
+    is also the natively right lowering for a length-5 contraction: pure
+    VPU work, no MXU round-trip.
+    """
+    extra = S.ndim - 1
+    def c(i):
+        v = coeffs[..., i]
+        return v.reshape(v.shape + (1,) * extra)
+    out = c(0) * S[0]
+    for i in range(1, S.shape[0]):
+        out = out + c(i) * S[i]
+    return out
+
+
 @partial(jax.jit, static_argnames=())
 def combine_operator(K: jnp.ndarray, M: jnp.ndarray, kappas: jnp.ndarray,
                      rho_cvs: jnp.ndarray, dt) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -217,10 +245,12 @@ def combine_operator(K: jnp.ndarray, M: jnp.ndarray, kappas: jnp.ndarray,
         M_op = Σ_m ρc_m M_m                       (rhs mass, ref :282-285)
 
     kappas / rho_cvs are (n_mats,) — or batched (..., n_mats) for vmapped
-    sweeps (einsum broadcasts).
+    sweeps (broadcasting over leading dims). The contraction is a
+    statically-unrolled multiply-add, not an einsum — see
+    :func:`material_combine` for why that is load-bearing.
     """
-    M_op = jnp.einsum("...m,mkij->...kij", rho_cvs, M)
-    A = M_op + dt * jnp.einsum("...m,mkij->...kij", kappas, K)
+    M_op = material_combine(rho_cvs, M)
+    A = M_op + dt * material_combine(kappas, K)
     return A, M_op
 
 

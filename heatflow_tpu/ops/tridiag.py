@@ -53,9 +53,11 @@ def apply_tridiag(C: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
 
 
 def combine_tridiag(K, M, kappas, rho_cvs, dt):
-    """(A, M_op) for a backward-Euler step, batched like combine_operator."""
-    M_op = jnp.einsum("...m,mkn->...kn", rho_cvs, M)
-    A = M_op + dt * jnp.einsum("...m,mkn->...kn", kappas, K)
+    """(A, M_op) for a backward-Euler step, batched like combine_operator
+    (unrolled multiply-add, not einsum — see stencil.material_combine)."""
+    from heatflow_tpu.ops.stencil import material_combine
+    M_op = material_combine(rho_cvs, M)
+    A = M_op + dt * material_combine(kappas, K)
     return A, M_op
 
 

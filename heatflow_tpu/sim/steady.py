@@ -28,9 +28,9 @@ def solve_steady(problem: Problem2D, bc_values: np.ndarray, *,
     array; only constrained entries are used). Returns u (Nz, Nr) ndarray."""
     st = problem.stencils
     Ksrc = st.K if weighted else st.K_flat
-    K = jnp.einsum("m,mkij->kij",
-                   jnp.asarray(problem.kappas, dtype),
-                   jnp.asarray(Ksrc, dtype))
+    from heatflow_tpu.ops.stencil import material_combine
+    K = material_combine(jnp.asarray(problem.kappas, dtype),
+                         jnp.asarray(Ksrc, dtype))
     free = jnp.asarray(problem.free_mask, dtype)
     dirich = jnp.asarray(problem.dirichlet_mask, dtype)
     g = jnp.asarray(bc_values, dtype) * dirich

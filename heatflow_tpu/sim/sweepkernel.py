@@ -367,17 +367,20 @@ def make_sweep_fn_recording(problem: Problem2D, *,
     ``mesh``: shard the batch over the mesh's 'config' axis (batch size
     must be a multiple of the axis size — callers pad).
 
-    KNOWN LIMITATION (f32 on TPU, B >= 2): the vmapped full-operator core
-    fails to converge on this environment's XLA stack — the identical
-    config that converges in ~40 iterations at B=1 runs to maxiter and
-    NaNs when batched, even paired with a duplicate of itself. Every
-    primitive (batched stencil apply, batched operator combine, batched
-    reductions, vmapped pcg on a synthetic operator) measures
-    bitwise-correct in isolation; the failure needs the full composition
-    and is under investigation. Failing lanes surface as NaN
-    (failed_runs.csv), never as silent garbage. The sweep driver
-    serializes f32 TPU recording sweeps to B=1 as mitigation; f64 and CPU
-    batches are unaffected."""
+    RESOLVED (round 3) — the f32 TPU "B >= 2 divergence": with batched
+    coefficients, XLA:TPU lowered the material-contraction einsum in
+    ``combine_operator`` to an MXU dot_general at default precision
+    (bf16-truncated inputs, ~4e-3 relative operator perturbation), while
+    the degenerate B=1 dot simplified to exact f32 multiply-adds. The
+    perturbed backward-Euler operator (scaled condition ~1e6) went
+    indefinite, so CG hit maxiter and NaN'd on every lane of a batch
+    while the identical single config converged. Fixed by replacing every
+    material-contraction einsum with a statically-unrolled VPU
+    multiply-add (``ops.stencil.material_combine``; exact in f32, and the
+    natively right lowering for a length-≤9 contraction anyway).
+    Verified on TPU: B=2 matches B=1 iteration-for-iteration (174/169),
+    and lowering-level regression tests pin the no-dot_general property
+    (tests/test_round3_fixes.py)."""
     from heatflow_tpu.sim.stepper import make_simulate_fn
     cache_key = ("sweep_fn_rec", vary_material, jnp.dtype(dtype).name, rtol,
                  maxiter, fixed_iters, warm_start, mesh)
@@ -497,7 +500,13 @@ def normalized_oside_residuals(times, traces, exp_time, exp_oside_normed,
     parameter standard errors are built from (drivers/fit.py)."""
     pside = traces[..., pside_col]
     oside = traces[..., oside_col]
-    denom = pside.max(axis=-1) - pside.min(axis=-1)
+    span = pside.max(axis=-1) - pside.min(axis=-1)
+    # a flat p-side trace (e.g. the zero-amplitude FWHM corner of a sweep
+    # box) has no normalization scale; surface +inf residuals — a
+    # diagnosable "degenerate heating" signal — instead of 0/0 NaNs. The
+    # where-inside-where keeps gradients NaN-free on the live branch.
+    degenerate = span <= 0
+    denom = jnp.where(degenerate, 1.0, span)
     normed = (oside - oside[..., :1]) / denom[..., None]
 
     def interp_one(vals):
@@ -506,7 +515,8 @@ def normalized_oside_residuals(times, traces, exp_time, exp_oside_normed,
     flat = normed.reshape((-1, normed.shape[-1]))
     sim_at_exp = jax.vmap(interp_one)(flat)
     sim_at_exp = sim_at_exp.reshape(normed.shape[:-1] + (len(exp_time),))
-    return sim_at_exp - exp_oside_normed
+    res = sim_at_exp - exp_oside_normed
+    return jnp.where(degenerate[..., None], jnp.inf, res)
 
 
 def normalized_oside_rmse(times, traces, exp_time, exp_oside_normed,

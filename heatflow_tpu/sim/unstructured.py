@@ -543,8 +543,9 @@ def solve_steady_unstructured(problem: ProblemUnstructured,
     if Ksrc is None:
         raise ValueError("ELL ops lack unweighted stiffness; re-assemble")
     cols = jnp.asarray(ell.cols)
-    K = jnp.einsum("m,mnk->nk", jnp.asarray(problem.kappas, dtype),
-                   jnp.asarray(Ksrc, dtype))
+    from heatflow_tpu.ops.stencil import material_combine
+    K = material_combine(jnp.asarray(problem.kappas, dtype),
+                         jnp.asarray(Ksrc, dtype))
     free = jnp.asarray(~problem.dirichlet, dtype)
     dirich = jnp.asarray(problem.dirichlet, dtype)
     g = jnp.asarray(bc_values, dtype) * dirich
