@@ -55,7 +55,7 @@ def build_flagship():
     return problem
 
 
-def bench_tpu(problem, *, rtol=1e-3, maxiter=8000):
+def bench_tpu(problem, *, rtol=1e-4, maxiter=8000):
     import jax
     import jax.numpy as jnp
     from heatflow_tpu.sim.stepper import make_simulate_fn
@@ -64,14 +64,17 @@ def bench_tpu(problem, *, rtol=1e-3, maxiter=8000):
     # gradient projection, ref run_with_diamond.py:469-504) — benchmark the
     # same per-step work. rtol is relative to the warm-start residual (the
     # increment scale); solver='auto' engages the VMEM-resident Pallas CG
-    # when the mesh fits on-chip. Accuracy at this rtol vs the f64 ground
-    # truth: final watchers ~0.1 K, mid-transient trace peak ~3 K (3.5e-2
-    # of the o-side range) — the measured speed/accuracy point; tighter
-    # rtol buys accuracy per the curve in BENCHMARKS.md.
+    # when the mesh fits on-chip, preconditioned with the r-line PCR
+    # block-Jacobi (precondition='rline', round 3 — ~4-7x fewer iterations
+    # on this operator, ops/linesolve.py). Accuracy at this point vs the
+    # f64 ground truth: o-side trace peak 1.9 K (rms 0.38 K), p-side peak
+    # 1e-3 K — strictly better than round 2's official rtol-1e-3 jacobi
+    # point on BOTH axes (speed and trace error); the full frontier is in
+    # BENCHMARKS.md.
     fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
                           maxiter=maxiter, record_gradient=False,
                           record_fields=False, rtol_wrt="r0",
-                          solver="auto")
+                          solver="auto", precondition="rline")
     t0 = time.time()
     ys = fn()
     ys["final_u"].block_until_ready()

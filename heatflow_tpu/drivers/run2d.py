@@ -134,7 +134,7 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                    rtol=None, maxiter=20000, record_gradient=True,
                    solver="xla", profile_dir=None, resume_from=None,
                    write_checkpoint=True, mesh_style="structured",
-                   warm_start="previous"):
+                   warm_start="previous", precondition="jacobi"):
     """Run the 2D transient simulation. See module docstring for outputs.
 
     watcher_points: dict name -> (z, r), or list of {'name','coords'} dicts
@@ -214,7 +214,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                                    maxiter=maxiter,
                                    record_gradient=record_gradient,
                                    record_fields=write_xdmf, solver=solver,
-                                   warm_start=warm_start, u0=u0, t0=t0)
+                                   warm_start=warm_start,
+                                   precondition=precondition, u0=u0, t0=t0)
         # scan results are already on host after run_transient
         t_end = time.time()
 
@@ -369,6 +370,13 @@ def main(argv=None):
                    help="CG seed per step: previous solution, or its linear "
                         "time extrapolation (same cost, ~2x lower f32 trace "
                         "error at equal iterations — BENCHMARKS.md)")
+    p.add_argument("--precondition",
+                   choices=["jacobi", "rline", "zline", "mg"],
+                   default="jacobi",
+                   help="CG preconditioner (XLA solver path): 'rline' = "
+                        "r-line block-tridiagonal via precomputed PCR "
+                        "(~6-8x fewer iterations on DAC operators), 'mg' = "
+                        "Galerkin multigrid V-cycle")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -383,7 +391,8 @@ def main(argv=None):
                    args.write_xdmf, args.suppress_print, layout=args.layout,
                    solver=args.solver, profile_dir=args.profile_dir,
                    resume_from=args.resume, mesh_style=args.mesh_style,
-                   warm_start=args.warm_start)
+                   warm_start=args.warm_start,
+                   precondition=args.precondition)
 
 
 if __name__ == "__main__":

@@ -174,16 +174,16 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             rec_rtol = {"rtol": 1e-4}
         if isinstance(mesh_w, UnstructuredMesh):
             # imported / generated non-grid mesh → unstructured sweep kernel
-            # (config-axis sharding not composed with this path yet;
-            # solver='vmem' runs grid-overlay meshes through the same
-            # per-config VMEM Pallas kernels as structured sweeps)
+            # (config-axis sharded over the device mesh exactly like the
+            # structured branch; solver='vmem' runs grid-overlay meshes
+            # through the same per-config VMEM Pallas kernels)
             from heatflow_tpu.sim.unstructured import (
                 build_problem_unstructured, make_sweep_fn_unstructured)
             problem = build_problem_unstructured(mesh_w, heating, cfg_w,
                                                  watcher_points=wp)
             sweep_fn = make_sweep_fn_unstructured(
                 problem, dtype=dtype, fixed_iters=fixed_iters,
-                warm_start=warm_start, solver=solver,
+                warm_start=warm_start, solver=solver, mesh=mesh,
                 record_gradient=record_gradient, **rec_rtol)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,

@@ -31,9 +31,11 @@ VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def fits_in_vmem(nz: int, nr: int, dtype=jnp.float32,
-                 n_points: int = 7) -> bool:
+                 n_points: int = 7, extra_planes: int = 0) -> bool:
+    """``extra_planes``: additional solution-sized VMEM planes the kernel
+    will hold (e.g. 3·ceil(log2(Nr)) for the r-line PCR factors)."""
     bytes_per = jnp.dtype(dtype).itemsize
-    working_set = (n_points + 6) * nz * nr * bytes_per
+    working_set = (n_points + 6 + extra_planes) * nz * nr * bytes_per
     return working_set < VMEM_BUDGET
 
 
@@ -90,9 +92,63 @@ CHECK_EVERY = 8  # CG iterations per convergence check (amortizes the
                  # while_loop's per-trip synchronization)
 
 
+def _shift_lane(v: jnp.ndarray, d: int) -> jnp.ndarray:
+    """out[:, j] = v[:, j+d], zeros shifted in — pad + static slice along
+    the lane (minor) dim, the same Mosaic-friendly pattern as _apply7."""
+    nz, nr = v.shape
+    if d > 0:
+        return jax.lax.slice(jnp.pad(v, ((0, 0), (0, d))), (0, d),
+                             (nz, d + nr))
+    return jax.lax.slice(jnp.pad(v, ((0, 0), (-d, 0))), (0, 0), (nz, nr))
+
+
+def _pcr_precond(pcr_ref, rr, n_levels: int):
+    """r-line block-Jacobi application from precomputed PCR levels resident
+    in VMEM: n_levels unrolled shifted multiply-add passes (no reductions,
+    no gathers — see ops/linesolve.py for the factorization)."""
+    d = rr
+    s = 1
+    for k in range(n_levels):
+        d = (d - pcr_ref[k, 0] * _shift_lane(d, -s)
+             - pcr_ref[k, 1] * _shift_lane(d, s)) * pcr_ref[k, 2]
+        s *= 2
+    return d
+
+
+def _rline_factor_into(C, sm, scr_ref, n_levels: int):
+    """In-kernel PCR factorization of the r-line tridiagonal part of the
+    scaled operator sm·C·sm into VMEM scratch (layout matches pcr_pack /
+    _pcr_precond). Costs ~n_levels shifted multiply-add passes — about
+    three CG iterations' worth, once per solve, so per-config factoring in
+    the batched sweep kernels is essentially free (no per-config VMEM
+    residency, unlike passing precomputed factors)."""
+    u = sm * C[3] * _shift_lane(sm, 1)
+    l = sm * C[4] * _shift_lane(sm, -1)
+    s = 1
+    for k in range(n_levels):
+        alpha = 1.0 - l * _shift_lane(u, -s) - u * _shift_lane(l, s)
+        inv_a = 1.0 / alpha
+        scr_ref[k, 0] = l
+        scr_ref[k, 1] = u
+        scr_ref[k, 2] = inv_a
+        l, u = (-l * _shift_lane(l, -s) * inv_a,
+                -u * _shift_lane(u, s) * inv_a)
+        s *= 2
+
+
+def rline_levels(nr: int) -> int:
+    """ceil(log2(nr)) — PCR level count covering an axis of length nr."""
+    L = 0
+    s = 1
+    while s < nr:
+        L += 1
+        s *= 2
+    return L
+
+
 def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
-                   x_ref, it_ref, *, maxiter: int, rtol_wrt: str,
-                   cheb_degree: int):
+                   *rest, maxiter: int, rtol_wrt: str,
+                   cheb_degree: int, pcr_levels: int):
     """Whole tolerance-based CG solve in one kernel (while_loop on-chip).
 
     The operator is applied with ON-THE-FLY symmetric scaling,
@@ -106,7 +162,17 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
     polynomial in the scaled operator (eigenvalue target
     [0.08, 1.05]·λmax, λmax from the Gershgorin bound in lmax_ref):
     ~√d fewer iterations, amortizing the per-iteration reduction latency.
+
+    pcr_levels > 0 preconditions with the r-line block-Jacobi PCR factors
+    (passed as a (L, 3, Nz, Nr) VMEM operand) — the measured 6-8x
+    iteration cut on DAC operators at ~3-4 applies' worth of reduction-free
+    VPU work per application (BENCHMARKS.md).
     """
+    if pcr_levels > 0:
+        pcr_ref, x_ref, it_ref = rest
+    else:
+        pcr_ref = None
+        x_ref, it_ref = rest
     sm = sm_ref[:]
     b = b_ref[:]
     x = x0_ref[:]
@@ -115,7 +181,12 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
         return sm * _apply7(A_ref, sm * y)
 
     dtype = b.dtype
-    if cheb_degree > 0:
+    if pcr_levels > 0:
+        free = (sm != 0).astype(dtype)
+
+        def precond(rr):
+            return _pcr_precond(pcr_ref, rr, pcr_levels) * free
+    elif cheb_degree > 0:
         lmax = lmax_ref[0, 0]
         lo = 0.08 * lmax
         hi = 1.05 * lmax
@@ -161,7 +232,8 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = z + beta * p
-        rr = rz_new if cheb_degree == 0 else jnp.sum(r * r)
+        preconditioned = cheb_degree > 0 or pcr_levels > 0
+        rr = jnp.sum(r * r) if preconditioned else rz_new
         return (x, r, p, rz_new, rr)
 
     def body(state):
@@ -186,14 +258,21 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
 def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
                 x0: jnp.ndarray, rtol: float | jnp.ndarray, *,
                 maxiter: int = 4000, rtol_wrt: str = "r0",
-                interpret: bool = False, cheb_degree: int = 0):
+                interpret: bool = False, cheb_degree: int = 0,
+                pcr=None):
     """Tolerance-based VMEM-resident CG on the scaled-masked operator
     sm·A·sm. Returns (x, iters). b and x0 must vanish at constrained dofs;
     sm = rsqrt(diag(A)) * free. ``interpret=True`` runs the Pallas
     interpreter (CPU testing). ``cheb_degree>0`` preconditions with an
-    in-kernel Chebyshev polynomial (stopping still on the true residual)."""
+    in-kernel Chebyshev polynomial; ``pcr`` (a (L, 3, Nz, Nr) array of
+    r-line PCR factors, see :func:`pcr_pack`) preconditions with the
+    VMEM-resident r-line block-Jacobi solve — mutually exclusive with
+    ``cheb_degree``. Stopping is on the true residual in both cases."""
     nz, nr = b.shape
     rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
+    pcr_levels = 0 if pcr is None else int(pcr.shape[0])
+    if pcr_levels and cheb_degree:
+        raise ValueError("pcr and cheb_degree are mutually exclusive")
     if cheb_degree > 0:
         # Gershgorin bound of the scaled operator (sm >= 0, so absolute
         # row sums are one |A|-apply): λmax ≈ max_i Σ_j |Â_ij|
@@ -201,27 +280,41 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
         lmax = lmax.astype(b.dtype)
     else:
         lmax = jnp.ones((1, 1), b.dtype)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    operands = [A, sm, b, x0, rtol_arr, lmax]
+    in_specs = [vm, vm, vm, vm, smem, smem]
+    if pcr_levels:
+        operands.append(pcr)
+        in_specs.append(vm)
     x, it = pl.pallas_call(
         functools.partial(_cg_tol_kernel, maxiter=maxiter,
-                          rtol_wrt=rtol_wrt, cheb_degree=cheb_degree),
+                          rtol_wrt=rtol_wrt, cheb_degree=cheb_degree,
+                          pcr_levels=pcr_levels),
         out_shape=(jax.ShapeDtypeStruct((nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        in_specs=in_specs,
+        out_specs=(vm, smem),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
             flops=maxiter * 24 * nz * nr // 4,
-            bytes_accessed=(8 + 3) * nz * nr * 4, transcendentals=0),
+            bytes_accessed=(8 + 3 + 3 * pcr_levels) * nz * nr * 4,
+            transcendentals=0),
         interpret=interpret,
-    )(A, sm, b, x0, rtol_arr, lmax)
+    )(*operands)
     return x, it[0, 0]
+
+
+def pcr_pack(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray
+             ) -> jnp.ndarray:
+    """Precompute the r-line PCR factor stack for :func:`cg_vmem_tol`:
+    (L, 3, Nz, Nr) with planes (l_k, u_k, inv_alpha_k) per level. Runs at
+    XLA level once per transient (the operator is constant across steps)."""
+    from heatflow_tpu.ops.linesolve import line_couplings, pcr_factor
+    l, u = line_couplings(A, s * free, -1)
+    levels = pcr_factor(l, u, axis=-1)
+    return jnp.stack([jnp.stack(lv) for lv in levels])
 
 
 def _xla_apply_abs(A, v):
@@ -338,14 +431,18 @@ def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
 
 
 def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, Kv_ref, sm_ref, b_ref,
-                         x0_ref, x_ref, it_ref, *, maxiter: int,
-                         rtol_wrt: str):
+                         x0_ref, x_ref, it_ref, *rest, maxiter: int,
+                         rtol_wrt: str, rline: bool = False):
     """Tolerance-based per-config solve for the sweep engine: one grid step
     combines this config's operator on-chip and runs the whole while_loop CG
     (stopping rule identical to ops.cg.pcg: ||r|| <= rtol·||b|| for 'b',
     ·||r0|| for 'r0'; convergence checked every CHECK_EVERY iterations, so
     iteration counts can exceed the XLA path's by up to CHECK_EVERY-1 —
-    free extra accuracy, never less)."""
+    free extra accuracy, never less).
+
+    ``rline``: precondition with the r-line block-Jacobi PCR solve,
+    factored in-kernel per config into scratch (measured 4-7x iteration
+    cut on DAC operators — ops/linesolve.py)."""
     b_idx = pl.program_id(0)
     dk = dk_ref[b_idx]
     C = A0_ref[:] + dk * Kv_ref[:]
@@ -356,55 +453,70 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, Kv_ref, sm_ref, b_ref,
     def apply_op(y):
         return sm * _apply7(C, sm * y)
 
+    if rline:
+        (scr_ref,) = rest
+        n_lv = scr_ref.shape[0]
+        _rline_factor_into(C, sm, scr_ref, n_lv)
+        precond = lambda rr: _pcr_precond(scr_ref, rr, n_lv)
+    else:
+        precond = lambda rr: rr
+
     r = b - apply_op(x)
-    p = r
-    rz = jnp.sum(r * r)
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    rr = jnp.sum(r * r) if rline else rz
     rtol = rtol_ref[0, 0]
-    ref2 = rz if rtol_wrt == "r0" else jnp.sum(b * b)
+    ref2 = rr if rtol_wrt == "r0" else jnp.sum(b * b)
     stop2 = rtol * rtol * ref2
 
     def cond(state):
-        _x, _r, _p, _rz, k = state
-        return jnp.logical_and(k < maxiter, _rz > stop2)
+        _x, _r, _p, _rz, _rr, k = state
+        return jnp.logical_and(k < maxiter, _rr > stop2)
 
     def one_iter(_i, state):
-        x, r, p, rz = state
+        x, r, p, rz, _rr = state
         Ap = apply_op(p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rz_new = jnp.sum(r * r)
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-        p = r + beta * p
-        return (x, r, p, rz_new)
+        p = z + beta * p
+        rr = jnp.sum(r * r) if rline else rz_new
+        return (x, r, p, rz_new, rr)
 
     def body(state):
-        x, r, p, rz, k = state
-        x, r, p, rz = jax.lax.fori_loop(0, CHECK_EVERY, one_iter,
-                                        (x, r, p, rz))
-        return (x, r, p, rz, k + CHECK_EVERY)
+        x, r, p, rz, rr, k = state
+        x, r, p, rz, rr = jax.lax.fori_loop(0, CHECK_EVERY, one_iter,
+                                            (x, r, p, rz, rr))
+        return (x, r, p, rz, rr, k + CHECK_EVERY)
 
-    x, r, p, rz, k = jax.lax.while_loop(
-        cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32)))
+    x, r, p, rz, rr, k = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, rr, jnp.zeros((), jnp.int32)))
     # poison on non-finite residual (see ops/cg.pcg) — a NaN-parameter
     # config must surface in failed_runs.csv, not return finite garbage
-    x_ref[0] = jnp.where(jnp.isfinite(rz), x, jnp.nan)
+    x_ref[0] = jnp.where(jnp.isfinite(rr), x, jnp.nan)
     it_ref[b_idx] = k     # whole (B,) SMEM buffer, persists across steps
 
 
 @functools.partial(jax.jit, static_argnames=("maxiter", "rtol_wrt",
-                                             "interpret"))
+                                             "interpret", "rline"))
 def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                         sm: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
                         rtol: float | jnp.ndarray, *, maxiter: int = 4000,
-                        rtol_wrt: str = "b", interpret: bool = False):
+                        rtol_wrt: str = "b", interpret: bool = False,
+                        rline: bool = False):
     """Tolerance-based batched per-config VMEM CG (grid over configs).
 
     Same operator convention as ``cg_vmem_batched`` but each config runs to
     ||r|| <= rtol·||b|| (or ·||r0||) instead of a fixed budget — converged
     accuracy at VMEM speed, the sweep twin of ``cg_vmem_tol``. Returns
-    (x (B, Nz, Nr), iters (B,) int32).
+    (x (B, Nz, Nr), iters (B,) int32). ``rline=True`` preconditions each
+    config's solve with the r-line PCR block-Jacobi, factored in-kernel
+    into scratch VMEM (see _rline_factor_into).
     """
     B, nz, nr = b.shape
     npts = A0.shape[0]
@@ -413,9 +525,11 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                            memory_space=pltpu.VMEM)
     shared = pl.BlockSpec((npts, nz, nr), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((rline_levels(nr), 3, nz, nr), b.dtype)] \
+        if rline else []
     x, it = pl.pallas_call(
         functools.partial(_sweep_cg_tol_kernel, maxiter=maxiter,
-                          rtol_wrt=rtol_wrt),
+                          rtol_wrt=rtol_wrt, rline=rline),
         grid=(B,),
         out_shape=(jax.ShapeDtypeStruct((B, nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((B,), jnp.int32)),
@@ -424,6 +538,7 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                   shared, shared, per_cfg, per_cfg, per_cfg],
         out_specs=(per_cfg,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(

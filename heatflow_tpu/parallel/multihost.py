@@ -65,15 +65,24 @@ def gather_to_all(x) -> np.ndarray:
 def run_sweep_multihost(problem, sample_k, fwhm, *, dtype=None,
                         fixed_iters: int | None = None, rtol: float = 1e-6,
                         maxiter: int = 4000, num_steps: int | None = None,
-                        z_shards: int = 1):
+                        z_shards: int = 1, solver: str = "xla",
+                        warm_start: str = "previous",
+                        record_gradient: bool = False):
     """SPMD sweep over all hosts/devices: every process calls this with the
-    same arguments; returns the full (B, S, W) traces on every process.
+    same arguments; returns the full (B, S, W) traces on every process —
+    or, with ``record_gradient=True``, the full artifact dict (watch /
+    band / axis), matching the reference's per-run artifact set
+    (ref parameter_sweep.py:157-166).
 
-    Thin composition of the single-host pieces: global mesh + global batch
-    placement + the production sweep kernel (sim.sweepkernel.make_sweep_fn)
-    + final allgather."""
+    Dispatches on the problem kind (structured Problem2D or overlay
+    ProblemUnstructured — the reference's fan-out is mesh-kind-agnostic,
+    ref :436-446) and composes the single-host pieces: global mesh +
+    sharded batch placement + the production sweep makers + allgather."""
     import jax.numpy as jnp
-    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    from heatflow_tpu.sim.sweepkernel import (make_sweep_fn,
+                                              make_sweep_fn_recording)
+    from heatflow_tpu.sim.unstructured import (ProblemUnstructured,
+                                               make_sweep_fn_unstructured)
 
     dtype = dtype or jnp.float32
     mesh = global_config_mesh(z_shards=z_shards)
@@ -85,8 +94,28 @@ def run_sweep_multihost(problem, sample_k, fwhm, *, dtype=None,
     ks = pad_to_multiple(ks, nc)
     fs = pad_to_multiple(fs, nc)
 
-    fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
-                       rtol=rtol, maxiter=maxiter, num_steps=num_steps,
-                       mesh=mesh)
-    traces = fn(distribute_batch(mesh, ks), distribute_batch(mesh, fs))
-    return gather_to_all(traces)[:B]
+    if isinstance(problem, ProblemUnstructured):
+        fn = make_sweep_fn_unstructured(
+            problem, dtype=dtype, fixed_iters=fixed_iters, rtol=rtol,
+            maxiter=maxiter, warm_start=warm_start, solver=solver,
+            record_gradient=record_gradient,
+            num_steps=num_steps if solver == "vmem" else None, mesh=mesh)
+        # the jitted cores carry explicit in_shardings, so plain (padded)
+        # numpy inputs are placed as global sharded arrays at dispatch
+        out = fn(ks, fs)
+    elif record_gradient:
+        fn = make_sweep_fn_recording(
+            problem, dtype=dtype, fixed_iters=fixed_iters, rtol=rtol,
+            maxiter=maxiter, warm_start=warm_start, mesh=mesh)
+        out = fn(ks, fs)
+    else:
+        fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
+                           rtol=rtol, maxiter=maxiter, num_steps=num_steps,
+                           mesh=mesh, solver=solver, warm_start=warm_start)
+        out = fn(distribute_batch(mesh, ks), distribute_batch(mesh, fs))
+    if isinstance(out, dict):
+        res = {k: gather_to_all(v)[:B] for k, v in out.items()
+               if k in ("watch", "band", "axis")}
+        res["times"] = np.asarray(out["times"])
+        return res
+    return gather_to_all(out)[:B]

@@ -100,8 +100,11 @@ def make_simulate_fn(problem: Problem2D,
 
     use_vmem = False
     if solver in ("vmem", "auto"):
+        import math
         from heatflow_tpu.ops.pallas_cg import fits_in_vmem
-        use_vmem = fits_in_vmem(nz, nr, dtype)
+        extra = (3 * math.ceil(math.log2(max(2, nr)))
+                 if precondition == "rline" else 0)
+        use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
         if solver == "vmem" and not use_vmem:
             raise ValueError(
                 f"problem ({nz}x{nr}, {dtype}) exceeds the VMEM budget; "
@@ -152,6 +155,20 @@ def make_simulate_fn(problem: Problem2D,
         sm_vmem = s * free if use_vmem else None
 
         pre = None
+        pcr_stack = None
+        if precondition in ("rline", "zline"):
+            # line block-Jacobi on the scaled system via precomputed PCR
+            # (the operator is constant over the transient, so the
+            # factorization runs once, outside the scan; each application
+            # is ~log2(N) shifted multiply-add passes).  'rline' is the
+            # measured winner on the DAC operator — see ops/linesolve.py.
+            if use_vmem and precondition == "rline":
+                from heatflow_tpu.ops.pallas_cg import pcr_pack
+                pcr_stack = pcr_pack(A, s, free)
+            else:
+                from heatflow_tpu.ops.linesolve import line_preconditioner
+                pre = line_preconditioner(
+                    A, s, free, axis=-1 if precondition == "rline" else -2)
         if mg_levels is not None:
             from heatflow_tpu.ops.multigrid import make_vcycle
             level_ops = []
@@ -197,7 +214,8 @@ def make_simulate_fn(problem: Problem2D,
                 from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
                 x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0, rtol,
                                        maxiter=maxiter, rtol_wrt=rtol_wrt,
-                                       cheb_degree=vmem_cheb_degree)
+                                       cheb_degree=vmem_cheb_degree,
+                                       pcr=pcr_stack)
                 sol = CGResult(x=x, iters=iters,
                                residual=jnp.zeros((), dtype),
                                converged=jnp.asarray(True))

@@ -26,14 +26,19 @@ from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
 from heatflow_tpu.sim.problem import Problem2D
 
 
-def vmem_sweep_scan(ops, ks, fs, u0, t0, *, dtype, ic, dt, num_steps,
-                    base_k, fixed_iters, rtol, maxiter, extrapolate):
+def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
+                    num_steps, base_k, fixed_iters, rtol, maxiter,
+                    extrapolate, rline=False):
     """Whole-batch backward-Euler scan with the per-config Pallas VMEM
     solvers (shared by the structured sweep engine and the grid-overlay
     unstructured one). ``ops`` needs stencils A0/K_var/M_op (7- or 9-point,
     lattice layout), masks free/dirich, r_sq, heating-line ``base``, the
-    heating curve heat_t/heat_T, and flat watcher ids ``watch``. Returns
-    (traces (B, S, W), u_fin (B, Nz, Nr))."""
+    heating curve heat_t/heat_T, and flat watcher ids ``watch``. ``u_pp``
+    is the u_{n-1} warm-start history entering the segment (pass u0 for a
+    fresh start); ``step0`` the integer step offset of the segment.
+    Returns (traces (B, S, W), u_fin, u_penultimate) — the last two
+    fields re-enter the next time chunk so chunked 'extrapolate' runs are
+    exactly the unchunked trajectory."""
     from heatflow_tpu.ops.pallas_cg import (cg_vmem_batched,
                                             cg_vmem_batched_tol)
     interpret = jax.default_backend() != "tpu"
@@ -72,15 +77,20 @@ def vmem_sweep_scan(ops, ks, fs, u0, t0, *, dtype, ic, dt, num_steps,
         else:
             X, _it = cg_vmem_batched_tol(
                 ops["A0"], ops["K_var"], dks, sm, Bv, Y0, rtol,
-                maxiter=maxiter, interpret=interpret)
+                maxiter=maxiter, interpret=interpret, rline=rline)
         Un = X * sm + G
         return (Un, U), Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
 
-    ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt \
-        + jnp.asarray(t0, dtype)
+    # times formed as (step0 + i)·dt in ONE rounding so a chunked run's
+    # absolute times are bitwise those of the unchunked scan (adding
+    # t0 = step0·dt separately rounds twice and the 1-ulp difference is
+    # amplified by the gain-2 extrapolated seed — measured)
+    ts = (jnp.arange(1, num_steps + 1, dtype=dtype)
+          + jnp.asarray(step0, dtype)) * dt
     u00 = jnp.asarray(u0, dtype)
-    (u_fin, _), traces = jax.lax.scan(step, (u00, u00), ts)
-    return jnp.swapaxes(traces, 0, 1), u_fin
+    (u_fin, u_pen), traces = jax.lax.scan(
+        step, (u00, jnp.asarray(u_pp, dtype)), ts)
+    return jnp.swapaxes(traces, 0, 1), u_fin, u_pen
 
 
 def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
@@ -92,9 +102,11 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     """Build simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces
     (B, S, W). vmappable/shardable along B; differentiable in both inputs.
 
-    ``simulate_batch.segment(ks, fs, u0, t0)`` additionally returns the final
-    fields, enabling time-chunked execution of very large batches (bounded
-    device-call durations) — set ``num_steps`` to the chunk length.
+    ``simulate_batch.segment(ks, fs, u0, step0, u_pp=None)`` additionally
+    returns the final and penultimate fields, enabling time-chunked
+    execution of very large batches (bounded device-call durations) with
+    exact warm-start history across chunks — set ``num_steps`` to the
+    chunk length.
 
     ``mesh``: a ``jax.sharding.Mesh`` with a 'config' axis (and optionally a
     'z' axis, see parallel.config_mesh). The batch axis is sharded over
@@ -172,7 +184,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
 
     extrapolate = warm_start == "extrapolate"
 
-    def one_config(ops, sample_k, fwhm, u0=None, t0=0.0):
+    def one_config(ops, sample_k, fwhm, u0=None, step0=0, u_pp=None):
         free, dirich = ops["free"], ops["dirich"]
         dk = (jnp.asarray(sample_k, dtype) - base_k) * dt
         apply_A = lambda v: (apply_stencil(ops["A0"], v)
@@ -219,16 +231,20 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
 
         u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
             else jnp.asarray(u0, dtype)
-        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt \
-            + jnp.asarray(t0, dtype)
-        (u_fin, _), traces = jax.lax.scan(step, (u0, u0), ts)
-        return traces, u_fin
+        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, dtype)
+        # single-rounding times (see vmem_sweep_scan)
+        ts = (jnp.arange(1, num_steps + 1, dtype=dtype)
+              + jnp.asarray(step0, dtype)) * dt
+        (u_fin, u_pen), traces = jax.lax.scan(step, (u0, u_pp), ts)
+        return traces, u_fin, u_pen
 
-    def batched_vmem(ops, ks, fs, u0, t0):
-        return vmem_sweep_scan(ops, ks, fs, u0, t0, dtype=dtype, ic=ic,
-                               dt=dt, num_steps=num_steps, base_k=base_k,
-                               fixed_iters=fixed_iters, rtol=rtol,
-                               maxiter=maxiter, extrapolate=extrapolate)
+    def batched_vmem(ops, ks, fs, u0, u_pp, step0):
+        return vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, dtype=dtype,
+                               ic=ic, dt=dt, num_steps=num_steps,
+                               base_k=base_k, fixed_iters=fixed_iters,
+                               rtol=rtol, maxiter=maxiter,
+                               extrapolate=extrapolate,
+                               rline=precondition == "rline")
 
     if solver == "vmem":
         if mesh is not None and ("z" in mesh.axis_names
@@ -236,8 +252,13 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             raise ValueError("solver='vmem' shards the config axis only "
                              "(whole problems stay on one chip); use "
                              "z_shards=1")
-        if precondition != "jacobi":
-            raise ValueError("solver='vmem' implies the scaled-Jacobi path")
+        if precondition == "rline" and fixed_iters is not None:
+            raise ValueError("rline-preconditioned vmem sweeps are "
+                             "tolerance-based (drop fixed_iters)")
+        if precondition not in ("jacobi", "rline"):
+            raise ValueError("solver='vmem' supports precondition='jacobi' "
+                             "(scaled identity) or 'rline' (in-kernel "
+                             "r-line PCR)")
         if jax.default_backend() == "tpu":
             from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
             if not fits_in_vmem_batched(nz, nr, dtype):
@@ -254,23 +275,26 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             rep = jax.tree.map(lambda _: P(), ops)
             core_vmem = shard_map(
                 batched_vmem, mesh=mesh,
-                in_specs=(rep, P("config"), P("config"), P("config"), P()),
-                out_specs=(P("config"), P("config")),
+                in_specs=(rep, P("config"), P("config"), P("config"),
+                          P("config"), P()),
+                out_specs=(P("config"), P("config"), P("config")),
                 check_vma=False)
 
         def _batched(ops, ks, fs):
             B = len(ks)
             u0 = jnp.full((B, nz, nr), ic, dtype)
-            return core_vmem(ops, ks, fs, u0, jnp.asarray(0.0, dtype))[0]
+            return core_vmem(ops, ks, fs, u0, u0, jnp.asarray(0, dtype))[0]
 
-        def _batched_seg(ops, ks, fs, u0, t0):
-            return core_vmem(ops, ks, fs, u0, jnp.asarray(t0, dtype))
+        def _batched_seg(ops, ks, fs, u0, u_pp, step0):
+            return core_vmem(ops, ks, fs, u0, u_pp,
+                             jnp.asarray(step0, dtype))
 
     else:
         _batched = lambda ops, ks, fs: jax.vmap(
             lambda k, f: one_config(ops, k, f)[0])(ks, fs)
-        _batched_seg = lambda ops, ks, fs, u0, t0: jax.vmap(
-            lambda k, f, u: one_config(ops, k, f, u, t0))(ks, fs, u0)
+        _batched_seg = lambda ops, ks, fs, u0, u_pp, step0: jax.vmap(
+            lambda k, f, u, up: one_config(ops, k, f, u, step0, up)
+        )(ks, fs, u0, u_pp)
 
     if mesh is None:
         batched = jax.jit(_batched)
@@ -325,19 +349,25 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                           out_shardings=cfg_sh)
         batched_seg = jax.jit(_batched_seg,
                               in_shardings=(ops_sh, cfg_sh, cfg_sh,
-                                            field_sh, scalar_sh),
-                              out_shardings=(cfg_sh, field_sh))
+                                            field_sh, field_sh, scalar_sh),
+                              out_shardings=(cfg_sh, field_sh, field_sh))
 
     def simulate_batch(sample_k, fwhm):
         return batched(ops, jnp.asarray(sample_k, dtype),
                        jnp.asarray(fwhm, dtype))
 
-    def segment(sample_k, fwhm, u0, t0):
-        """(traces (B, S, W), u_fin (B, Nz, Nr)) for one time chunk."""
+    def segment(sample_k, fwhm, u0, step0, u_pp=None):
+        """(traces (B, S, W), u_fin, u_penultimate) for one time chunk
+        starting after integer step offset ``step0`` (times are formed as
+        (step0+i)·dt on device so chunked runs hit the unchunked absolute
+        times bitwise). Pass the previous chunk's u_penultimate as
+        ``u_pp`` so warm_start='extrapolate' seeds the chunk's first step
+        from real history (omitted: seeds from u0, i.e. a fresh start)."""
+        u0 = jnp.asarray(u0, dtype)
+        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, dtype)
         return batched_seg(ops, jnp.asarray(sample_k, dtype),
-                           jnp.asarray(fwhm, dtype),
-                           jnp.asarray(u0, dtype),
-                           jnp.asarray(t0, dtype))
+                           jnp.asarray(fwhm, dtype), u0, u_pp,
+                           jnp.asarray(step0, dtype))
 
     simulate_batch.segment = segment
     simulate_batch.one_config = lambda k, f: one_config(ops, k, f)[0]
@@ -429,7 +459,9 @@ def make_sweep_fn_recording(problem: Problem2D, *,
         u0 = jnp.full((B, nz, nr), ic, dtype)
         ys = batched(fn.dev, fn.mg, jnp.asarray(kps, dtype),
                      jnp.asarray(fwhm, dtype), u0)
-        ys["times"] = np.asarray(ys["times"][0])
+        # host-side times: the device copy is sharded over configs, and
+        # row 0 is not addressable on every process of a multihost run
+        ys["times"] = np.arange(1, problem.num_steps + 1) * problem.dt
         return ys
 
     simulate_batch.times = (np.arange(1, problem.num_steps + 1) * problem.dt)
@@ -454,16 +486,29 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     ``mesh``: shard the batch axis over the mesh's 'config' devices (the
     batch is padded to a multiple of the axis size and sliced back).
 
-    ``warm_start='extrapolate'`` applies within each chunk; the first step
-    of every chunk re-seeds from the carried field alone (the u_{n-1}
-    history is not threaded across chunk boundaries — 1/step_chunk of the
-    steps, a negligible accuracy difference)."""
+    ``warm_start='extrapolate'`` is exact across chunk boundaries: the
+    penultimate field of each chunk is threaded into the next, so the
+    chunked trajectory equals the unchunked one bitwise (pinned in
+    tests/test_warmstart.py)."""
     total = int(problem.num_steps)
     chunk_len = min(step_chunk, total)
-    fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
-                       rtol=rtol, maxiter=maxiter, precondition=precondition,
-                       num_steps=chunk_len, mesh=mesh, solver=solver,
-                       warm_start=warm_start)
+    from heatflow_tpu.sim.unstructured import ProblemUnstructured
+    if isinstance(problem, ProblemUnstructured):
+        # overlay meshes chunk through the shared VMEM scan (the reference's
+        # fan-out is mesh-kind-agnostic, ref parameter_sweep.py:436-446)
+        if solver != "vmem":
+            raise ValueError("time-chunked unstructured sweeps run through "
+                             "solver='vmem' (grid-overlay meshes)")
+        from heatflow_tpu.sim.unstructured import make_sweep_fn_unstructured
+        fn = make_sweep_fn_unstructured(
+            problem, dtype=dtype, fixed_iters=fixed_iters, rtol=rtol,
+            maxiter=maxiter, warm_start=warm_start, solver="vmem",
+            num_steps=chunk_len, mesh=mesh)
+    else:
+        fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
+                           rtol=rtol, maxiter=maxiter,
+                           precondition=precondition, num_steps=chunk_len,
+                           mesh=mesh, solver=solver, warm_start=warm_start)
     sample_k = np.asarray(sample_k)
     fwhm = np.asarray(fwhm)
     B = len(sample_k)
@@ -474,6 +519,7 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
         fwhm = pad_to_multiple(fwhm, nc)
     nz, nr = fn.shape
     u = jnp.full((len(sample_k), nz, nr), fn.ic_temp, dtype)
+    u_pp = u
     pieces = []
     done = 0
     while done < total:
@@ -482,7 +528,7 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
         # keeps only its first n steps (the discarded steps integrate past
         # t_final, where the heating interp clamps) — exactly one compile per
         # sweep shape instead of a recompile for the tail.
-        tr, u = fn.segment(sample_k, fwhm, u, done * problem.dt)
+        tr, u, u_pp = fn.segment(sample_k, fwhm, u, done, u_pp)
         tr.block_until_ready()
         pieces.append(np.asarray(tr)[:, :n])
         done += n

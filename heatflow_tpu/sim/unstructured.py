@@ -377,9 +377,15 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
 
 
 def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
-                             dtype, rtol, maxiter, fixed_iters, warm_start):
+                             dtype, rtol, maxiter, fixed_iters, warm_start,
+                             num_steps=None, mesh=None):
     """VMEM-kernel sweep path for grid-overlay meshes: prepare the lattice
-    ops dict and delegate to the shared ``sweepkernel.vmem_sweep_scan``."""
+    ops dict and delegate to the shared ``sweepkernel.vmem_sweep_scan``.
+
+    ``mesh``: shard the config axis over the device mesh (shard_map, each
+    device runs the Pallas kernel on its shard — same parity as the
+    structured ``make_sweep_fn(mesh=...)``). ``num_steps`` overrides the
+    problem's step count (time-chunked execution)."""
     from heatflow_tpu.ops.overlay import node_to_lattice
     from heatflow_tpu.ops.stencil import combine_operator
     from heatflow_tpu.sim.sweepkernel import vmem_sweep_scan
@@ -418,24 +424,68 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
         "watch": jnp.asarray(idx_np[np.asarray(problem.watcher_nodes)]),
     }
     base_k = float(problem.kappas[m_idx])
-    num_steps = int(problem.num_steps)
+    num_steps = int(problem.num_steps if num_steps is None else num_steps)
     extrapolate = warm_start == "extrapolate"
+
+    def core(ops, ks, fs, u0, u_pp, step0):
+        return vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, dtype=dtype,
+                               ic=ic, dt=dt, num_steps=num_steps,
+                               base_k=base_k, fixed_iters=fixed_iters,
+                               rtol=rtol, maxiter=maxiter,
+                               extrapolate=extrapolate)
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = jax.tree.map(lambda _: P(), ops)
+        core = shard_map(core, mesh=mesh,
+                         in_specs=(rep, P("config"), P("config"),
+                                   P("config"), P("config"), P()),
+                         out_specs=(P("config"), P("config"), P("config")),
+                         check_vma=False)
 
     def _batched(ops, ks, fs):
         B = len(ks)
         u0 = jnp.full((B, nz, nr), ic, dtype)
-        tr, _ = vmem_sweep_scan(ops, ks, fs, u0, 0.0, dtype=dtype, ic=ic,
-                                dt=dt, num_steps=num_steps, base_k=base_k,
-                                fixed_iters=fixed_iters, rtol=rtol,
-                                maxiter=maxiter, extrapolate=extrapolate)
-        return tr
+        return core(ops, ks, fs, u0, u0, jnp.asarray(0, dtype))[0]
 
-    batched = jax.jit(_batched)
+    def _batched_seg(ops, ks, fs, u0, u_pp, step0):
+        return core(ops, ks, fs, u0, u_pp, jnp.asarray(step0, dtype))
+
+    if mesh is None:
+        batched = jax.jit(_batched)
+        batched_seg = jax.jit(_batched_seg)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), ops)
+        cfg_sh = NamedSharding(mesh, P("config"))
+        fld_sh = NamedSharding(mesh, P("config", None, None))
+        sc_sh = NamedSharding(mesh, P())
+        batched = jax.jit(_batched, in_shardings=(rep_sh, cfg_sh, cfg_sh),
+                          out_shardings=cfg_sh)
+        batched_seg = jax.jit(
+            _batched_seg,
+            in_shardings=(rep_sh, cfg_sh, cfg_sh, fld_sh, fld_sh, sc_sh),
+            out_shardings=(cfg_sh, fld_sh, fld_sh))
 
     def simulate_batch(sample_k, fwhm):
         return batched(ops, jnp.asarray(sample_k, dtype),
                        jnp.asarray(fwhm, dtype))
 
+    def segment(sample_k, fwhm, u0, step0, u_pp=None):
+        """(traces, u_fin, u_penultimate) for one time chunk — identical
+        contract to the structured ``make_sweep_fn(...).segment`` (fields
+        live on the overlay lattice)."""
+        u0 = jnp.asarray(u0, dtype)
+        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, dtype)
+        return batched_seg(ops, jnp.asarray(sample_k, dtype),
+                           jnp.asarray(fwhm, dtype), u0, u_pp,
+                           jnp.asarray(step0, dtype))
+
+    simulate_batch.segment = segment
+    simulate_batch.shape = (nz, nr)
+    simulate_batch.ic_temp = float(problem.ic_temp)
+    simulate_batch.dt = float(problem.dt)
     simulate_batch.times = (np.arange(1, num_steps + 1) * problem.dt)
     simulate_batch.watcher_names = list(problem.watcher_names)
     return simulate_batch
@@ -448,7 +498,9 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
                                fixed_iters: int | None = None,
                                warm_start: str = "previous",
                                solver: str = "xla",
-                               record_gradient: bool = False):
+                               record_gradient: bool = False,
+                               num_steps: int | None = None,
+                               mesh=None):
     """Batched sweep kernel on an imported unstructured mesh:
     simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces (B, S, W) —
     the unstructured mirror of ``sweepkernel.make_sweep_fn`` (one vmapped
@@ -465,9 +517,17 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     ``record_gradient=True`` (solver='xla' only): each config additionally
     accumulates band/axis radial-gradient rows (the reference's per-run
     gradient CSVs, ref run_no_diamond.py:602-617); ``simulate_batch`` then
-    returns the full dict instead of bare traces."""
+    returns the full dict instead of bare traces.
+
+    ``mesh``: shard the config axis over the device mesh — unstructured
+    sweeps fan out across chips exactly like structured ones (the
+    reference's pool is mesh-kind-agnostic, ref parameter_sweep.py:436-446).
+    Batch sizes must be a multiple of the 'config' axis (callers pad).
+    ``num_steps`` overrides the chunk length for segmented execution
+    (``.segment`` — solver='vmem' overlay path)."""
     cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
-                 maxiter, fixed_iters, warm_start, solver, record_gradient)
+                 maxiter, fixed_iters, warm_start, solver, record_gradient,
+                 num_steps, mesh)
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -484,11 +544,15 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
                              "use solver='xla'")
         simulate_batch = _sweep_vmem_unstructured(
             problem, m_idx, dtype=dtype, rtol=rtol, maxiter=maxiter,
-            fixed_iters=fixed_iters, warm_start=warm_start)
+            fixed_iters=fixed_iters, warm_start=warm_start,
+            num_steps=num_steps, mesh=mesh)
         cache[cache_key] = simulate_batch
         return simulate_batch
     if solver != "xla":
         raise ValueError(f"unknown solver {solver!r}")
+    if num_steps is not None:
+        raise ValueError("segmented (num_steps=...) unstructured sweeps "
+                         "run through solver='vmem' (overlay meshes)")
 
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
@@ -508,8 +572,21 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
             return ys
         return ys["watch"], ys["final_u"]
 
-    batched = jax.jit(lambda dev, ks, fs, u0, t0: jax.vmap(
-        lambda k, f, u: one(dev, k, f, u, t0))(ks, fs, u0))
+    _batched = lambda dev, ks, fs, u0, t0: jax.vmap(
+        lambda k, f, u: one(dev, k, f, u, t0))(ks, fs, u0)
+    if mesh is None:
+        batched = jax.jit(_batched)
+    else:
+        # config-axis GSPMD: per-config fields sharded, problem arrays
+        # replicated — each device integrates its shard of configs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), fn.dev)
+        cfg_sh = NamedSharding(mesh, P("config"))
+        fld_sh = NamedSharding(mesh, P("config", None))
+        sc_sh = NamedSharding(mesh, P())
+        batched = jax.jit(
+            _batched,
+            in_shardings=(rep_sh, cfg_sh, cfg_sh, fld_sh, sc_sh))
 
     def simulate_batch(sample_k, fwhm):
         B = len(np.asarray(sample_k))

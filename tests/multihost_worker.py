@@ -47,6 +47,31 @@ fs = np.linspace(4e-6, 9e-6, 6)
 traces = multihost.run_sweep_multihost(problem, ks, fs, fixed_iters=10,
                                        dtype=np.float64)
 assert traces.shape == (6, 4, 2), traces.shape
+
+# artifact-parity (recording) sweep over the same 2-process mesh: full
+# per-run artifact set sharded over DCN (ref parameter_sweep.py:157-166)
+rec = multihost.run_sweep_multihost(problem, ks, fs, dtype=np.float64,
+                                    rtol=1e-10, maxiter=4000,
+                                    record_gradient=True)
+assert rec["watch"].shape == (6, 4, 2), rec["watch"].shape
+assert rec["band"].shape[0] == 6 and rec["axis"].shape[0] == 6
+
+# unstructured (overlay) sweep — the reference fan-out is
+# mesh-kind-agnostic, so the multihost path must be too
+from heatflow_tpu.mesh.unstructured_gen import \
+    build_unstructured_mesh  # noqa: E402
+from heatflow_tpu.sim.unstructured import \
+    build_problem_unstructured  # noqa: E402
+
+umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=7)
+uproblem = build_problem_unstructured(
+    umesh, heating, cfg,
+    watcher_points={"p": (0.0, 0.0), "o": (1e-6, 0.0)})
+utraces = multihost.run_sweep_multihost(uproblem, ks, fs, fixed_iters=10,
+                                        dtype=np.float64)
+assert utraces.shape == (6, 4, 2), utraces.shape
+
 if rank == 0:
-    np.save(out_path, traces)
+    np.savez(out_path, traces=traces, rec_watch=rec["watch"],
+             rec_band=rec["band"], rec_axis=rec["axis"], utraces=utraces)
 print(f"rank {rank} OK")

@@ -24,7 +24,7 @@ def test_two_process_sweep_matches_single_process(tmp_path):
     from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
     heat_csv = str(tmp_path / "heat.csv")
     synthetic_heating(heat_csv)
-    out = str(tmp_path / "traces.npy")
+    out = str(tmp_path / "traces.npz")
     port = _free_port()
 
     env = dict(os.environ, PYTHONPATH=ROOT)
@@ -48,26 +48,45 @@ def test_two_process_sweep_matches_single_process(tmp_path):
 
     got = np.load(out)
 
-    # single-process reference on the same problem
+    # single-process references on the same problems
     import jax
     jax.config.update("jax_platforms", "cpu")
     from heatflow_tpu.geometry import build_layout
     from heatflow_tpu.mesh.structured import build_structured_mesh
+    from heatflow_tpu.mesh.unstructured_gen import build_unstructured_mesh
     from heatflow_tpu.sim.bc import HeatingCurve
     from heatflow_tpu.sim.problem import build_problem
-    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    from heatflow_tpu.sim.sweepkernel import (make_sweep_fn,
+                                              make_sweep_fn_recording)
+    from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
+                                               make_sweep_fn_unstructured)
     cfg = tiny_no_diamond_cfg(coarse=3.0)
     cfg["heating"]["file"] = heat_csv
     cfg["timing"]["num_steps"] = 4
     domain, mats = build_layout(cfg)
     mesh = build_structured_mesh(domain, mats)
     heating = HeatingCurve.from_csv(heat_csv)
-    problem = build_problem(mesh, heating, cfg,
-                            watcher_points={"p": (0.0, 0.0),
-                                            "o": (1e-6, 0.0)})
+    wp = {"p": (0.0, 0.0), "o": (1e-6, 0.0)}
+    problem = build_problem(mesh, heating, cfg, watcher_points=wp)
     ks = np.linspace(2.0, 8.0, 6)
     fs = np.linspace(4e-6, 9e-6, 6)
     ref = np.asarray(make_sweep_fn(problem, dtype=np.float64,
                                    fixed_iters=10)(ks, fs))
-    np.testing.assert_allclose(got, ref, rtol=1e-11,
+    np.testing.assert_allclose(got["traces"], ref, rtol=1e-11,
                                atol=1e-11 * np.abs(ref).max())
+
+    rec = make_sweep_fn_recording(problem, dtype=np.float64,
+                                  rtol=1e-10)(ks, fs)
+    for key, name in (("rec_watch", "watch"), ("rec_band", "band"),
+                      ("rec_axis", "axis")):
+        r = np.asarray(rec[name])
+        np.testing.assert_allclose(
+            got[key], r, rtol=1e-8, atol=1e-8 * max(1.0, np.abs(r).max()))
+
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=7)
+    uproblem = build_problem_unstructured(umesh, heating, cfg,
+                                          watcher_points=wp)
+    uref = np.asarray(make_sweep_fn_unstructured(
+        uproblem, dtype=np.float64, fixed_iters=10)(ks, fs))
+    np.testing.assert_allclose(got["utraces"], uref, rtol=1e-11,
+                               atol=1e-11 * np.abs(uref).max())

@@ -259,3 +259,125 @@ def test_kernel_cheb_preconditioner(system):
     scale = float(jnp.abs(x_true).max())
     assert float(jnp.abs(x3 - x_true).max()) / scale < 1e-8
     assert int(it3) < int(it0) / 1.4, f"{int(it3)} vs {int(it0)}"
+
+
+def test_kernel_pcr_preconditioner(system):
+    """In-kernel r-line PCR block-Jacobi: converges to the same solution,
+    in fewer iterations, and matches the XLA line_preconditioner path
+    (same preconditioned Krylov process)."""
+    from heatflow_tpu.ops.linesolve import line_preconditioner
+    from heatflow_tpu.ops.pallas_cg import pcr_pack
+    A, sm, free, b, x_true = system
+    s = jnp.where(free > 0, sm, 1.0)
+    pcr = pcr_pack(A, s, free)
+    x, it = cg_vmem_tol(A, sm, b, jnp.zeros_like(b), 1e-11,
+                        maxiter=20000, interpret=True, pcr=pcr)
+    err = float(jnp.abs(x - x_true).max() / jnp.abs(x_true).max())
+    assert err < 1e-8
+    x0, it0 = cg_vmem_tol(A, sm, b, jnp.zeros_like(b), 1e-11,
+                          maxiter=20000, interpret=True)
+    assert int(it) < int(it0)
+    apply_s = lambda y: sm * apply_stencil(A, sm * y)
+    pre = line_preconditioner(A, s, free, axis=-1)
+    ref = pcg(apply_s, b, jnp.zeros_like(b), precond=pre, mask=free,
+              rtol=1e-11, maxiter=20000, rtol_wrt="r0")
+    # kernel checks convergence every CHECK_EVERY iters — counts may
+    # overshoot by up to CHECK_EVERY-1
+    assert abs(int(it) - int(ref.iters)) <= max(8, int(ref.iters) // 5)
+
+
+def test_stepper_vmem_rline_matches_xla_rline(system):
+    """make_simulate_fn(solver='vmem', precondition='rline') in interpreter
+    mode equals the XLA rline stepper."""
+    import os, tempfile
+    from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
+    from heatflow_tpu.geometry import build_layout as _bl, \
+        coupler_watcher_points
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+    from heatflow_tpu.sim.stepper import make_simulate_fn
+    from heatflow_tpu.ops import pallas_cg as pcg_mod
+    td = tempfile.mkdtemp()
+    heat = os.path.join(td, "heat.csv")
+    synthetic_heating(heat)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = heat
+    cfg["timing"]["num_steps"] = 3
+    domain, mats = _bl(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    problem = build_problem(mesh, HeatingCurve.from_csv(heat), cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    ys_x = make_simulate_fn(problem, dtype=jnp.float32, rtol=1e-6,
+                            precondition="rline", record_gradient=False,
+                            rtol_wrt="b")()
+    import unittest.mock as mock
+    real = pcg_mod.cg_vmem_tol.__wrapped__ if hasattr(
+        pcg_mod.cg_vmem_tol, "__wrapped__") else None
+    orig = pcg_mod.cg_vmem_tol
+    def interp_tol(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+    with mock.patch("heatflow_tpu.ops.pallas_cg.cg_vmem_tol", interp_tol), \
+         mock.patch("heatflow_tpu.ops.pallas_cg.fits_in_vmem",
+                    lambda *a, **k: True):
+        ys_v = make_simulate_fn(problem, dtype=jnp.float32, rtol=1e-6,
+                                precondition="rline",
+                                record_gradient=False, rtol_wrt="b",
+                                solver="vmem")()
+    wx = np.asarray(ys_x["watch"]); wv = np.asarray(ys_v["watch"])
+    # two independently-stopped f32 solvers (the kernel checks convergence
+    # every CHECK_EVERY iterations): equality to a fraction of a Kelvin on
+    # ~1e3 K traces, not bitwise
+    assert np.abs(wx - wv).max() < 0.1, np.abs(wx - wv).max()
+
+
+def test_sweep_tol_kernel_rline_preconditioner(sweep_setup):
+    """Batched tolerance kernel with in-kernel r-line PCR factoring: same
+    converged traces as the jacobi kernel, fewer iterations per config."""
+    from heatflow_tpu.ops.pallas_cg import cg_vmem_batched_tol
+    from heatflow_tpu.ops.stencil import combine_operator
+    problem = sweep_setup
+    dev = problem.device_arrays(jnp.float64)
+    dt = jnp.asarray(problem.dt, jnp.float64)
+    A0, _ = combine_operator(dev["K"], dev["M"], dev["kappas"],
+                             dev["rho_cvs"], dt)
+    Kv = dev["K"][0]
+    free = dev["free"]
+    rng = np.random.default_rng(5)
+    B = 3
+    dks = jnp.asarray(rng.uniform(0.0, 2.0, B) * float(dt), jnp.float64)
+    diag = A0[0][None] + dks[:, None, None] * Kv[0][None]
+    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free \
+        + dev["dirichlet"]
+    sm = s * free
+    x_true = jnp.asarray(rng.standard_normal((B,) + free.shape)) * free
+    b = jax.vmap(lambda dk, smi, v: smi * apply_stencil(
+        A0 + dk * Kv, smi * v))(dks, sm, x_true)
+    z = jnp.zeros_like(b)
+    xj, itj = cg_vmem_batched_tol(A0, Kv, dks, sm, b, z, 1e-11,
+                                  maxiter=20000, interpret=True)
+    xr, itr = cg_vmem_batched_tol(A0, Kv, dks, sm, b, z, 1e-11,
+                                  maxiter=20000, interpret=True, rline=True)
+    for i in range(B):
+        np.testing.assert_allclose(np.asarray(xr[i]), np.asarray(x_true[i]),
+                                   rtol=1e-7, atol=1e-8)
+        assert int(itr[i]) < int(itj[i]), (i, int(itr[i]), int(itj[i]))
+
+
+def test_sweep_fn_vmem_rline_matches_jacobi(sweep_setup):
+    """make_sweep_fn(solver='vmem', precondition='rline'): converged traces
+    equal the jacobi-kernel traces at tight tolerance."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    problem = sweep_setup
+    ks = np.array([2.0, 3.8, 7.0])
+    fs = np.array([5e-6, 6e-6, 8e-6])
+    ref = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-10,
+                                   solver="vmem")(ks, fs))
+    got = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-10,
+                                   solver="vmem",
+                                   precondition="rline")(ks, fs))
+    np.testing.assert_allclose(got, ref, rtol=1e-8,
+                               atol=1e-8 * np.abs(ref).max())
+    with pytest.raises(ValueError, match="tolerance-based"):
+        make_sweep_fn(problem, solver="vmem", precondition="rline",
+                      fixed_iters=10)

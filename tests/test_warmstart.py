@@ -116,3 +116,22 @@ def test_extrapolation_converges_to_same_solution():
                               record_gradient=False, warm_start=ws)
         outs.append(np.asarray(fn()["final_u"]))
     np.testing.assert_allclose(outs[1], outs[0], rtol=0, atol=1e-9)
+
+def test_chunked_extrapolate_matches_unchunked_bitwise():
+    """Warm-start history is threaded across time chunks: a chunked
+    'extrapolate' run must reproduce the unchunked trajectory BITWISE in
+    f64 (the penultimate field re-enters each chunk — VERDICT r2 item 6)."""
+    from heatflow_tpu.sim.sweepkernel import (make_sweep_fn,
+                                              run_sweep_time_chunked)
+
+    problem, _ = g._tiny_flagship(size_scale=16.0)
+    ks = np.array([2.0, 6.0])
+    fs = np.array([problem.fwhm, 1.2 * problem.fwhm])
+
+    for solver in ("xla", "vmem"):
+        full = make_sweep_fn(problem, dtype=jnp.float64, fixed_iters=8,
+                             warm_start="extrapolate", solver=solver)(ks, fs)
+        chunked = run_sweep_time_chunked(
+            problem, ks, fs, step_chunk=3, dtype=jnp.float64,
+            fixed_iters=8, warm_start="extrapolate", solver=solver)
+        assert np.array_equal(np.asarray(full), np.asarray(chunked)), solver
