@@ -134,7 +134,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                    rtol=None, maxiter=20000, record_gradient=True,
                    solver="xla", profile_dir=None, resume_from=None,
                    write_checkpoint=True, mesh_style="structured",
-                   warm_start="previous", precondition="jacobi"):
+                   warm_start="previous", precondition="jacobi",
+                   z_shards=1):
     """Run the 2D transient simulation. See module docstring for outputs.
 
     watcher_points: dict name -> (z, r), or list of {'name','coords'} dicts
@@ -206,6 +207,14 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             print(f"Resuming from checkpoint at t={t0:.4e} s"
                   + (f" (step {step0})" if step0 is not None else ""))
 
+        dev_mesh = None
+        if z_shards > 1:
+            # shard THIS problem's z axis over the first z_shards devices
+            # (SURVEY §2.3 item 2: problems too big for one chip)
+            from heatflow_tpu.parallel.sharding import config_mesh
+            dev_mesh = config_mesh(n_devices=z_shards, z_shards=z_shards)
+            print(f"z-sharding the field over {z_shards} devices")
+
         print("Beginning loop...")
         t_loop = time.time()
         from heatflow_tpu.utils import profile_trace
@@ -214,7 +223,7 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                                    maxiter=maxiter,
                                    record_gradient=record_gradient,
                                    record_fields=write_xdmf, solver=solver,
-                                   warm_start=warm_start,
+                                   warm_start=warm_start, mesh=dev_mesh,
                                    precondition=precondition, u0=u0, t0=t0)
         # scan results are already on host after run_transient
         t_end = time.time()
@@ -377,6 +386,10 @@ def main(argv=None):
                         "r-line block-tridiagonal via precomputed PCR "
                         "(~6-8x fewer iterations on DAC operators), 'mg' = "
                         "Galerkin multigrid V-cycle")
+    p.add_argument("--z-shards", type=int, default=1,
+                   help="shard the field's z axis over this many devices "
+                        "(single-problem spatial sharding; XLA solver path; "
+                        "Nz must divide evenly)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -392,7 +405,7 @@ def main(argv=None):
                    solver=args.solver, profile_dir=args.profile_dir,
                    resume_from=args.resume, mesh_style=args.mesh_style,
                    warm_start=args.warm_start,
-                   precondition=args.precondition)
+                   precondition=args.precondition, z_shards=args.z_shards)
 
 
 if __name__ == "__main__":

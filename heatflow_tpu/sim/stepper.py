@@ -62,8 +62,16 @@ def make_simulate_fn(problem: Problem2D,
                      rtol_wrt: str = "r0",
                      solver: str = "xla",
                      vmem_cheb_degree: int = 0,
-                     warm_start: str = "previous") -> Callable:
+                     warm_start: str = "previous",
+                     mesh=None) -> Callable:
     """Build a jittable simulate(kappas, rho_cvs, fwhm) -> dict of traces.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a 'z' axis — shard THIS single
+    problem's fields and stencils along z over the devices (GSPMD inserts
+    the halo exchanges at shard boundaries; SURVEY §2.3 item 2's TPU
+    equivalent for problems too big for one chip). Requires Nz divisible
+    by the 'z' axis size and the XLA solver path (the VMEM kernel keeps
+    whole problems on one chip by design).
 
     All arguments default to the problem's own material values, so
     ``simulate()`` runs the configured problem; passing arrays makes it a
@@ -85,7 +93,7 @@ def make_simulate_fn(problem: Problem2D,
     cache_key = ("simulate_fn", jnp.dtype(dtype).name, rtol, maxiter,
                  fixed_iters, proj_rtol, proj_maxiter, record_gradient,
                  record_fields, precondition, rtol_wrt, solver,
-                 vmem_cheb_degree, warm_start)
+                 vmem_cheb_degree, warm_start, mesh)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -105,6 +113,16 @@ def make_simulate_fn(problem: Problem2D,
         extra = (3 * math.ceil(math.log2(max(2, nr)))
                  if precondition == "rline" else 0)
         use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
+    if mesh is not None:
+        if solver == "vmem" or use_vmem:
+            raise ValueError("z-sharding a single problem runs the XLA "
+                             "solver path (the VMEM kernel keeps whole "
+                             "problems on one chip); use solver='xla'")
+        if "z" not in mesh.axis_names:
+            raise ValueError("make_simulate_fn(mesh=...) needs a 'z' axis")
+        if nz % mesh.shape["z"] != 0:
+            raise ValueError(f"Nz={nz} not divisible by the 'z' axis size "
+                             f"{mesh.shape['z']}")
         if solver == "vmem" and not use_vmem:
             raise ValueError(
                 f"problem ({nz}x{nr}, {dtype}) exceeds the VMEM budget; "
@@ -124,6 +142,42 @@ def make_simulate_fn(problem: Problem2D,
         # pytree (they must not become tracers)
         mg_shapes = [lv.pop("shape") for lv in full]
         mg_host = full
+
+    field_sh = None
+    if mesh is not None:
+        # Commit every problem array to its z-sharded (or replicated)
+        # placement once; jit then propagates the shardings through the
+        # whole scan and GSPMD inserts the halo exchanges at the stencil
+        # shifts (same spec logic as make_sweep_fn's z axis).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _zspec(x):
+            nd = jnp.ndim(x)
+            if nd == 4:                        # (n_mats, 7|9, Nz, Nr)
+                return P(None, None, "z", None)
+            if nd == 3:                        # (7|9, Nz, Nr)
+                return P(None, "z", None)
+            if nd == 2 and x.shape[0] % mesh.shape["z"] == 0:
+                return P("z", None)            # (Nz, Nr) fields/masks
+            return P()                         # curves, watcher ids
+
+        _place = lambda x: jax.device_put(
+            x, NamedSharding(mesh, _zspec(x)))
+        dev = jax.tree.map(_place, dev)
+        if mg_host is not None:
+            def _lv_place(lv, nz_l):
+                ok = nz_l % mesh.shape["z"] == 0
+
+                def spec(x):
+                    if not ok:
+                        return P()            # odd coarse level: replicate
+                    return _zspec(x)
+
+                return jax.tree.map(lambda x: jax.device_put(
+                    x, NamedSharding(mesh, spec(x))), lv)
+            mg_host = [_lv_place(lv, shp[0])
+                       for lv, shp in zip(mg_host, mg_shapes)]
+        field_sh = NamedSharding(mesh, P("z", None))
 
     # NOTE: the large arrays (stencils, masks) enter the jitted core as
     # ARGUMENTS, not closure constants — closed-over arrays get baked into
@@ -269,6 +323,9 @@ def make_simulate_fn(problem: Problem2D,
         u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
             else jnp.asarray(u0, dtype)
         src = None if source is None else jnp.asarray(source, dtype)
+        if field_sh is not None:
+            u0 = jax.device_put(u0, field_sh)
+            src = None if src is None else jax.device_put(src, field_sh)
         return jitted(dev, mg_host, kp, rc, fw, u0,
                       jnp.asarray(t0, dtype), src)
 
@@ -313,7 +370,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   record_gradient: bool = True,
                   record_fields: bool = False,
                   precondition: str = "jacobi", solver: str = "xla",
-                  warm_start: str = "previous",
+                  warm_start: str = "previous", mesh=None,
                   kappas=None, rho_cvs=None, fwhm=None,
                   u0=None, t0: float = 0.0, source=None) -> TransientResult:
     """Convenience wrapper: build, run, and repatriate results (the simulate
@@ -322,7 +379,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
         record_fields=record_fields, precondition=precondition,
-        solver=solver, warm_start=warm_start)
+        solver=solver, warm_start=warm_start, mesh=mesh)
     ys = fn(kappas, rho_cvs, fwhm, u0, t0, source)
     ys = jax.tree.map(np.asarray, ys)
 
