@@ -166,7 +166,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                                      solver=solver, profile_dir=profile_dir,
                                      resume_from=resume_from,
                                      write_checkpoint=write_checkpoint,
-                                     warm_start=warm_start)
+                                     warm_start=warm_start,
+                                     precondition=precondition)
         print(f"Mesh ready: {mesh.shape[0]} x {mesh.shape[1]} grid = "
               f"{mesh.num_nodes} nodes, {2 * mesh.num_cells} triangles")
 
@@ -276,7 +277,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
 def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
                       *, dtype, rtol, maxiter, record_gradient,
                       solver="xla", profile_dir=None, resume_from=None,
-                      write_checkpoint=True, warm_start="previous"):
+                      write_checkpoint=True, warm_start="previous",
+                      precondition="jacobi"):
     """Transient run on an imported gmsh mesh via the ELL operator path,
     producing the same artifact set and feature surface (resume/profile/
     checkpoint) as the structured driver."""
@@ -307,7 +309,7 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter, rtol_wrt="r0",
         record_gradient=record_gradient, record_fields=write_xdmf,
-        solver=solver, warm_start=warm_start)
+        solver=solver, warm_start=warm_start, precondition=precondition)
     t_loop = time.time()
     from heatflow_tpu.utils import profile_trace
     with profile_trace(profile_dir):

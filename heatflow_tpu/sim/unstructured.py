@@ -143,7 +143,8 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                   record_gradient=True,
                                   record_fields=False, rtol_wrt="b",
                                   differentiable=False, solver="xla",
-                                  warm_start="previous"):
+                                  warm_start="previous",
+                                  precondition="jacobi"):
     """Build a jittable simulate(kappas, rho_cvs, fwhm, u0, t0, source) on the
     ELL operator path — same surface as the structured
     ``stepper.make_simulate_fn`` (parameter overrides default to the
@@ -165,7 +166,12 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     """
     cache_key = ("sim_fn", jnp.dtype(dtype).name, rtol, maxiter, fixed_iters,
                  proj_rtol, proj_maxiter, record_gradient, record_fields,
-                 rtol_wrt, differentiable, solver, warm_start)
+                 rtol_wrt, differentiable, solver, warm_start, precondition)
+    if precondition not in ("jacobi", "rline"):
+        raise ValueError(f"unknown precondition {precondition!r}")
+    if precondition == "rline" and solver not in ("vmem", "auto"):
+        raise ValueError("rline preconditioning on unstructured problems "
+                         "runs the grid-overlay VMEM path (solver='vmem')")
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -194,9 +200,13 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                 raise ValueError("solver='vmem' needs a grid-overlay mesh "
                                  "(the VMEM kernel is stencil-form only)")
         else:
+            import math
             from heatflow_tpu.ops.pallas_cg import fits_in_vmem
             oshape0 = tuple(int(s) for s in overlay["shape"])
-            use_vmem = fits_in_vmem(*oshape0, dtype, n_points=9)
+            extra = (3 * math.ceil(math.log2(max(2, oshape0[1])))
+                     if precondition == "rline" else 0)
+            use_vmem = fits_in_vmem(*oshape0, dtype, n_points=9,
+                                    extra_planes=extra)
             if solver == "vmem" and not use_vmem:
                 raise ValueError("problem exceeds the VMEM budget")
             if solver == "vmem" and not vmem_interpret \
@@ -269,6 +279,14 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         s_mp = jax.lax.rsqrt(jnp.where(Mp_diag > 0, Mp_diag, 1.0))
         apply_mp_s = lambda y: s_mp * apply_Mp(s_mp * y)
 
+        pcr = None
+        if use_vmem and precondition == "rline":
+            # r-line PCR factors on the overlay lattice (9-point operator's
+            # r-couplings are planes 3/4, same as the 7-point layout) —
+            # factored once per transient, outside the scan
+            from heatflow_tpu.ops.pallas_cg import pcr_pack
+            pcr = pcr_pack(A9, s.reshape(oshape), free.reshape(oshape))
+
         coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fw * fw)
         profile = jnp.exp(coeff * dev["r_sq"]) * dev["heat_f"]
 
@@ -307,7 +325,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                     A9, (s * free).reshape(oshape),
                     (b * free).reshape(oshape), y0.reshape(oshape), rtol,
                     maxiter=maxiter, rtol_wrt=rtol_wrt,
-                    interpret=vmem_interpret)
+                    interpret=vmem_interpret, pcr=pcr)
                 u = x2.ravel() * s * free + g
                 outs = {"cg_iters": iters}
             else:

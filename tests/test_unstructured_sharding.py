@@ -141,3 +141,24 @@ def test_driver_unstructured_sharded_honest_metadata(overlay_problem,
         np.testing.assert_allclose(b.to_numpy(), a.to_numpy(), rtol=1e-9)
     meta = json.load(open(f"{out8}/sweep_metadata.json"))
     assert "sharded over 8 devices" in meta["engine"]
+
+
+def test_unstructured_vmem_rline_matches_jacobi(overlay_problem):
+    """Overlay stepper with in-kernel r-line PCR preconditioning: same
+    converged traces as the jacobi VMEM path, fewer CG iterations."""
+    from heatflow_tpu.sim.unstructured import make_simulate_fn_unstructured
+    _cfg, problem = overlay_problem
+    ys_j = make_simulate_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-10, solver="vmem",
+        record_gradient=False)()
+    ys_r = make_simulate_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-10, solver="vmem",
+        record_gradient=False, precondition="rline")()
+    a, b = np.asarray(ys_j["watch"]), np.asarray(ys_r["watch"])
+    np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-8 * np.abs(a).max())
+    assert (np.asarray(ys_r["cg_iters"]).sum()
+            < np.asarray(ys_j["cg_iters"]).sum())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="VMEM"):
+        make_simulate_fn_unstructured(problem, solver="xla",
+                                      precondition="rline")
