@@ -135,7 +135,7 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                    solver="xla", profile_dir=None, resume_from=None,
                    write_checkpoint=True, mesh_style="structured",
                    warm_start="previous", precondition="jacobi",
-                   z_shards=1):
+                   z_shards=1, f64_refine=0):
     """Run the 2D transient simulation. See module docstring for outputs.
 
     watcher_points: dict name -> (z, r), or list of {'name','coords'} dicts
@@ -144,10 +144,14 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
     with suppress_output(suppress_print):
         t_start = time.time()
         validate_config(cfg, require_heating_file=True)
+        if f64_refine and dtype is None:
+            dtype = jnp.float32   # refinement IS the mixed-precision mode
         dtype = dtype or default_dtype()
         if rtol is None:
             # increment-relative stopping (stepper default rtol_wrt='r0'):
-            # 1e-4 keeps f32 traces at the f32 noise floor (BENCHMARKS.md)
+            # 1e-4 keeps f32 traces at the f32 noise floor (BENCHMARKS.md);
+            # with refinement it is the inner correction tolerance (2e-5 K
+            # flagship trace error at N=2 — BENCHMARKS.md)
             rtol = 1e-11 if dtype == jnp.float64 else 1e-4
 
         mesh = _prepare_mesh(cfg, mesh_folder, rebuild_mesh, layout,
@@ -167,7 +171,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                                      resume_from=resume_from,
                                      write_checkpoint=write_checkpoint,
                                      warm_start=warm_start,
-                                     precondition=precondition)
+                                     precondition=precondition,
+                                     f64_refine=f64_refine)
         print(f"Mesh ready: {mesh.shape[0]} x {mesh.shape[1]} grid = "
               f"{mesh.num_nodes} nodes, {2 * mesh.num_cells} triangles")
 
@@ -225,7 +230,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                                    record_gradient=record_gradient,
                                    record_fields=write_xdmf, solver=solver,
                                    warm_start=warm_start, mesh=dev_mesh,
-                                   precondition=precondition, u0=u0, t0=t0)
+                                   precondition=precondition,
+                                   f64_refine=f64_refine, u0=u0, t0=t0)
         # scan results are already on host after run_transient
         t_end = time.time()
 
@@ -278,10 +284,14 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
                       *, dtype, rtol, maxiter, record_gradient,
                       solver="xla", profile_dir=None, resume_from=None,
                       write_checkpoint=True, warm_start="previous",
-                      precondition="jacobi"):
+                      precondition="jacobi", f64_refine=0):
     """Transient run on an imported gmsh mesh via the ELL operator path,
     producing the same artifact set and feature surface (resume/profile/
     checkpoint) as the structured driver."""
+    if f64_refine:
+        raise ValueError("--f64-refine currently runs on structured meshes "
+                         "(the mixed-precision stepper lives in "
+                         "sim/stepper.py); use mesh_style='structured'")
     from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
                                                make_simulate_fn_unstructured)
 
@@ -388,11 +398,21 @@ def main(argv=None):
                         "r-line block-tridiagonal via precomputed PCR "
                         "(~6-8x fewer iterations on DAC operators), 'mg' = "
                         "Galerkin multigrid V-cycle")
+    p.add_argument("--f64-refine", type=int, default=0,
+                   help="mixed-precision iterative refinement: N passes of "
+                        "f64-residual / f32-correction per step (enables "
+                        "x64; near-f64 trace accuracy at f32 solve speed — "
+                        "measured 2e-5 K peak flagship error at 152 steps/s "
+                        "with N=2 --rtol 1e-4, BENCHMARKS.md)")
     p.add_argument("--z-shards", type=int, default=1,
                    help="shard the field's z axis over this many devices "
                         "(single-problem spatial sharding; XLA solver path; "
                         "Nz must divide evenly)")
     args = p.parse_args(argv)
+    if args.f64_refine:
+        # the refinement's f64 outer residual needs x64 (validated in
+        # make_simulate_fn); the f32 inner path is explicitly cast
+        jax.config.update("jax_enable_x64", True)
 
     cfg = load_config(args.config)
     if args.watcher_points == "auto":
@@ -407,7 +427,8 @@ def main(argv=None):
                    solver=args.solver, profile_dir=args.profile_dir,
                    resume_from=args.resume, mesh_style=args.mesh_style,
                    warm_start=args.warm_start,
-                   precondition=args.precondition, z_shards=args.z_shards)
+                   precondition=args.precondition, z_shards=args.z_shards,
+                   f64_refine=args.f64_refine)
 
 
 if __name__ == "__main__":

@@ -63,8 +63,23 @@ def make_simulate_fn(problem: Problem2D,
                      solver: str = "xla",
                      vmem_cheb_degree: int = 0,
                      warm_start: str = "previous",
-                     mesh=None) -> Callable:
+                     mesh=None,
+                     f64_refine: int = 0) -> Callable:
     """Build a jittable simulate(kappas, rho_cvs, fwhm) -> dict of traces.
+
+    ``f64_refine``: mixed-precision iterative refinement (dtype must be
+    float32). Each step's solve becomes N passes of: compute the residual
+    against the **f64** operator (XLA f64 emulation on TPU — one f64
+    stencil apply per pass), solve the f32 correction system to ``rtol``
+    with the configured f32 engine (VMEM/rline at full speed), accumulate
+    the update in f64. The state is carried in f64 across the scan. This
+    breaks the f32 operator-representation trace floor (~0.11 K on the
+    flagship, BENCHMARKS.md): the converged answer is the f64 operator's
+    solution, reached at f32 solve speed plus ~N f64 applies per step —
+    measured 0.007 K peak o-side error at 249 steps/s with
+    ``f64_refine=2, rtol=1e-3`` vs 3.4 steps/s for the all-f64 path.
+    Requires ``jax_enable_x64`` (the f64 outer would silently round
+    otherwise).
 
     ``mesh``: a ``jax.sharding.Mesh`` with a 'z' axis — shard THIS single
     problem's fields and stencils along z over the devices (GSPMD inserts
@@ -93,14 +108,30 @@ def make_simulate_fn(problem: Problem2D,
     cache_key = ("simulate_fn", jnp.dtype(dtype).name, rtol, maxiter,
                  fixed_iters, proj_rtol, proj_maxiter, record_gradient,
                  record_fields, precondition, rtol_wrt, solver,
-                 vmem_cheb_degree, warm_start, mesh)
+                 vmem_cheb_degree, warm_start, mesh, f64_refine)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
-    dev = problem.device_arrays(dtype)
+    if f64_refine:
+        if jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("f64_refine is the mixed-precision mode: "
+                             "dtype must be float32 (the all-f64 path needs "
+                             "no refinement)")
+        if not jax.config.jax_enable_x64:
+            raise ValueError("f64_refine needs jax_enable_x64=True — "
+                             "without it the f64 outer residual silently "
+                             "rounds to f32 and the refinement is a no-op")
+        if fixed_iters is not None or vmem_cheb_degree or mesh is not None \
+                or precondition == "mg":
+            raise ValueError("f64_refine composes with the tolerance-based "
+                             "jacobi/rline solvers on one chip (no "
+                             "fixed_iters / cheb / mg / mesh)")
+    # state/operator compute dtype: f64 when refining, else the run dtype
+    cdt = jnp.float64 if f64_refine else dtype
+    dev = problem.device_arrays(cdt)
     num_steps = int(problem.num_steps)
-    dt = jnp.asarray(problem.dt, dtype)
-    ic = jnp.asarray(problem.ic_temp, dtype)
+    dt = jnp.asarray(problem.dt, cdt)
+    ic = jnp.asarray(problem.ic_temp, cdt)
     nz, nr = problem.mesh.shape
     has_watch = "watch_flat" in dev
     has_radial = problem.radial is not None and record_gradient
@@ -113,6 +144,9 @@ def make_simulate_fn(problem: Problem2D,
         extra = (3 * math.ceil(math.log2(max(2, nr)))
                  if precondition == "rline" else 0)
         use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
+    if solver == "auto" and (jax.default_backend() != "tpu"
+                             or jnp.dtype(dtype) != jnp.float32):
+        use_vmem = False  # the Pallas kernel is TPU-only, f32-only
     if mesh is not None:
         if solver == "vmem" or use_vmem:
             raise ValueError("z-sharding a single problem runs the XLA "
@@ -127,10 +161,6 @@ def make_simulate_fn(problem: Problem2D,
             raise ValueError(
                 f"problem ({nz}x{nr}, {dtype}) exceeds the VMEM budget; "
                 "use solver='xla'")
-        if solver == "auto" and (jax.default_backend() != "tpu"
-                                 or dtype != jnp.float32):
-            use_vmem = False  # the Pallas kernel is TPU-only, f32-only
-
     mg_host = None
     mg_shapes = None
     if precondition == "mg":
@@ -210,7 +240,7 @@ def make_simulate_fn(problem: Problem2D,
 
         pre = None
         pcr_stack = None
-        if precondition in ("rline", "zline"):
+        if precondition in ("rline", "zline") and not f64_refine:
             # line block-Jacobi on the scaled system via precomputed PCR
             # (the operator is constant over the transient, so the
             # factorization runs once, outside the scan; each application
@@ -235,7 +265,7 @@ def make_simulate_fn(problem: Problem2D,
             # precond(r̃) = S⁻¹ (vcycle(S⁻¹ r̃))
             pre = lambda r: inv_s * vcycle(inv_s * r)
 
-        coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fw * fw)
+        coeff = jnp.asarray(-4.0 * np.log(2.0), cdt) / (fw * fw)
         profile = jnp.exp(coeff * r_sq) * base  # Gaussian on the heating line
 
         # BC value = (amp - ic) e^{-4ln2 r²/FWHM²} + ic on the heating line,
@@ -255,6 +285,69 @@ def make_simulate_fn(problem: Problem2D,
 
         extrapolate = warm_start == "extrapolate"
 
+        # mixed-precision refinement: f32 casts of the scaled system for the
+        # inner correction solves (the f64 master operator computes only the
+        # per-pass residual — one emulated-f64 stencil apply each)
+        if f64_refine:
+            A32 = A.astype(dtype)
+            s32 = s.astype(dtype)
+            free32 = free.astype(dtype)
+            sm32 = (s * free).astype(dtype)
+            apply_A32_s = lambda y: s32 * apply_stencil(A32, s32 * y)
+            pre32 = None
+            pcr_stack32 = None
+            if use_vmem and precondition == "rline":
+                from heatflow_tpu.ops.pallas_cg import pcr_pack
+                pcr_stack32 = pcr_pack(A32, s32, free32)
+            elif precondition in ("rline", "zline"):
+                from heatflow_tpu.ops.linesolve import line_preconditioner
+                pre32 = line_preconditioner(
+                    A32, s32, free32,
+                    axis=-1 if precondition == "rline" else -2)
+            s_mp32 = s_mp.astype(dtype)
+            G_r32 = G_r.astype(dtype)
+            M_proj32 = M_proj.astype(dtype)
+            apply_Mp_s32 = lambda y: s_mp32 * apply_stencil(M_proj32,
+                                                            s_mp32 * y)
+
+        def _solve_refined(b_lift, y0):
+            """N passes of f64-residual / f32-correction iterative
+            refinement on the scaled system (see the f64_refine doc)."""
+            from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
+            bt = b_lift * free
+            # Inner stop floor: once the f64 residual is at f64 roundoff
+            # relative to the step's full rhs there is nothing left to
+            # correct — and the f32 target rtol²·‖r‖² would underflow to
+            # denormals, leaving the inner CG grinding on noise until
+            # maxiter (measured: 18k iterations then poisoning on a
+            # warm-start-exact early step).
+            floor2 = jnp.asarray(1e-30, cdt) * jnp.sum(bt * bt)
+            y = y0
+            iters = jnp.zeros((), jnp.int32)
+            z32 = jnp.zeros((nz, nr), dtype)
+            for _ in range(f64_refine):
+                r64 = bt - free * apply_A_s(y)
+                r32 = r64.astype(dtype)
+                rn2 = jnp.sum(r64 * r64)
+                if use_vmem:
+                    # a degenerate correction rhs stops at the first check
+                    rtol_eff = jnp.where(rn2 > floor2, rtol, 1.0
+                                         ).astype(dtype)
+                    dy, its = cg_vmem_tol(A32, sm32, r32, z32, rtol_eff,
+                                          maxiter=maxiter, rtol_wrt="b",
+                                          pcr=pcr_stack32)
+                else:
+                    dsol = pcg(apply_A32_s, r32, z32, precond=pre32,
+                               mask=free32, rtol=rtol, maxiter=maxiter,
+                               atol=jnp.sqrt(floor2).astype(dtype),
+                               rtol_wrt="b")
+                    dy, its = dsol.x, dsol.iters
+                y = y + dy.astype(cdt)
+                iters = iters + its
+            return CGResult(x=y, iters=iters,
+                            residual=jnp.zeros((), cdt),
+                            converged=jnp.asarray(True))
+
         def step(carry, t):
             u_prev, u_pp, gr_prev = carry
             amp = jnp.interp(t, heat_t, heat_T) - amp_offset
@@ -264,7 +357,9 @@ def make_simulate_fn(problem: Problem2D,
             # CG seed: previous solution, or its linear extrapolation in time
             u_seed = 2.0 * u_prev - u_pp if extrapolate else u_prev
             y0 = (u_seed / jnp.where(s > 0, s, 1.0)) * free
-            if use_vmem:
+            if f64_refine:
+                sol = _solve_refined(b_lift, y0)
+            elif use_vmem:
                 from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
                 x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0, rtol,
                                        maxiter=maxiter, rtol_wrt=rtol_wrt,
@@ -285,11 +380,19 @@ def make_simulate_fn(problem: Problem2D,
             if has_watch:
                 outs["watch"] = u.reshape(-1)[dev["watch_flat"]]
             if has_radial:
-                br = s_mp * apply_stencil(G_r, u)
-                y0p = gr_prev / s_mp
-                gsol = pcg(apply_Mp_s, br, y0p,
-                           rtol=proj_rtol, maxiter=proj_maxiter)
-                gr = gsol.x * s_mp
+                if f64_refine:
+                    # the mass projection is well-conditioned after scaling
+                    # (no f32 amplification) — keep it at f32 speed
+                    br = s_mp32 * apply_stencil(G_r32, u.astype(dtype))
+                    gsol = pcg(apply_Mp_s32, br, gr_prev / s_mp32,
+                               rtol=proj_rtol, maxiter=proj_maxiter)
+                    gr = gsol.x * s_mp32
+                else:
+                    br = s_mp * apply_stencil(G_r, u)
+                    y0p = gr_prev / s_mp
+                    gsol = pcg(apply_Mp_s, br, y0p,
+                               rtol=proj_rtol, maxiter=proj_maxiter)
+                    gr = gsol.x * s_mp
                 vals = gr.reshape(-1)[dev["band_nodes"]]
                 sums = jax.ops.segment_sum(vals, dev["band_bins"],
                                            num_segments=n_bins)
@@ -303,7 +406,7 @@ def make_simulate_fn(problem: Problem2D,
             return (u, u_prev, gr), outs
 
         gr0 = jnp.zeros((nz, nr), dtype)
-        ts = (jnp.arange(1, num_steps + 1, dtype=dtype)) * dt + t0
+        ts = (jnp.arange(1, num_steps + 1, dtype=cdt)) * dt + t0
         (u_fin, _, _), ys = jax.lax.scan(step, (u0, u0, gr0), ts)
         ys["final_u"] = u_fin
         ys["times"] = ts
@@ -313,21 +416,21 @@ def make_simulate_fn(problem: Problem2D,
 
     def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None, t0=0.0,
                  source=None):
-        kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, dtype)
+        kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, cdt)
         rc = dev["rho_cvs"] if rho_cvs is None else jnp.asarray(rho_cvs,
-                                                               dtype)
-        fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, dtype)
+                                                               cdt)
+        fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, cdt)
         # initial condition: constant ic_temp, or a provided field (e.g. a
         # steady-state solve as the transient start, or a checkpoint resume
         # with the matching t0 offset)
-        u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
-            else jnp.asarray(u0, dtype)
-        src = None if source is None else jnp.asarray(source, dtype)
+        u0 = jnp.full((nz, nr), ic, cdt) if u0 is None \
+            else jnp.asarray(u0, cdt)
+        src = None if source is None else jnp.asarray(source, cdt)
         if field_sh is not None:
             u0 = jax.device_put(u0, field_sh)
             src = None if src is None else jax.device_put(src, field_sh)
         return jitted(dev, mg_host, kp, rc, fw, u0,
-                      jnp.asarray(t0, dtype), src)
+                      jnp.asarray(t0, cdt), src)
 
     simulate.core = _core
     simulate.dev = dev
@@ -370,7 +473,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   record_gradient: bool = True,
                   record_fields: bool = False,
                   precondition: str = "jacobi", solver: str = "xla",
-                  warm_start: str = "previous", mesh=None,
+                  warm_start: str = "previous", mesh=None, f64_refine: int = 0,
                   kappas=None, rho_cvs=None, fwhm=None,
                   u0=None, t0: float = 0.0, source=None) -> TransientResult:
     """Convenience wrapper: build, run, and repatriate results (the simulate
@@ -379,7 +482,8 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
         record_fields=record_fields, precondition=precondition,
-        solver=solver, warm_start=warm_start, mesh=mesh)
+        solver=solver, warm_start=warm_start, mesh=mesh,
+        f64_refine=f64_refine)
     ys = fn(kappas, rho_cvs, fwhm, u0, t0, source)
     ys = jax.tree.map(np.asarray, ys)
 
