@@ -288,10 +288,6 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
     """Transient run on an imported gmsh mesh via the ELL operator path,
     producing the same artifact set and feature surface (resume/profile/
     checkpoint) as the structured driver."""
-    if f64_refine:
-        raise ValueError("--f64-refine currently runs on structured meshes "
-                         "(the mixed-precision stepper lives in "
-                         "sim/stepper.py); use mesh_style='structured'")
     from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
                                                make_simulate_fn_unstructured)
 
@@ -319,7 +315,8 @@ def _run_unstructured(cfg, umesh, output_folder, watcher_points, write_xdmf,
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter, rtol_wrt="r0",
         record_gradient=record_gradient, record_fields=write_xdmf,
-        solver=solver, warm_start=warm_start, precondition=precondition)
+        solver=solver, warm_start=warm_start, precondition=precondition,
+        f64_refine=f64_refine)
     t_loop = time.time()
     from heatflow_tpu.utils import profile_trace
     with profile_trace(profile_dir):

@@ -144,7 +144,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                   record_fields=False, rtol_wrt="b",
                                   differentiable=False, solver="xla",
                                   warm_start="previous",
-                                  precondition="jacobi"):
+                                  precondition="jacobi", f64_refine=0):
     """Build a jittable simulate(kappas, rho_cvs, fwhm, u0, t0, source) on the
     ELL operator path — same surface as the structured
     ``stepper.make_simulate_fn`` (parameter overrides default to the
@@ -160,13 +160,19 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     instead of u_n (same semantics as the structured stepper; measured
     trade-offs in BENCHMARKS.md).
 
+    f64_refine=N: mixed-precision iterative refinement — f64-operator
+    residuals around the f32 correction solves, state carried in f64
+    (same semantics and measured frontier as
+    ``stepper.make_simulate_fn(f64_refine=N)``; requires x64, dtype f32).
+
     Memoized per problem (same convention as sweepkernel.make_sweep_fn):
     identical arguments return the same compiled callable — re-tracing a
     fresh jit per call costs far more than the run itself on small chunks.
     """
     cache_key = ("sim_fn", jnp.dtype(dtype).name, rtol, maxiter, fixed_iters,
                  proj_rtol, proj_maxiter, record_gradient, record_fields,
-                 rtol_wrt, differentiable, solver, warm_start, precondition)
+                 rtol_wrt, differentiable, solver, warm_start, precondition,
+                 f64_refine)
     if precondition not in ("jacobi", "rline"):
         raise ValueError(f"unknown precondition {precondition!r}")
     if precondition == "rline" and solver not in ("vmem", "auto"):
@@ -175,12 +181,25 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
+    if f64_refine:
+        # mixed-precision iterative refinement — same semantics as
+        # stepper.make_simulate_fn(f64_refine=N): f64 operator residuals
+        # around the f32 correction solves, state carried in f64
+        if jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("f64_refine is the mixed-precision mode: "
+                             "dtype must be float32")
+        if not jax.config.jax_enable_x64:
+            raise ValueError("f64_refine needs jax_enable_x64=True")
+        if differentiable or fixed_iters is not None:
+            raise ValueError("f64_refine composes with the tolerance-based "
+                             "non-differentiable solvers")
+    cdt = jnp.float64 if f64_refine else dtype
     from heatflow_tpu.ops.cg import pcg_fixed, pcg_solve
     from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
     nodes = problem.mesh.nodes
     n = len(nodes)
-    dt = jnp.asarray(problem.dt, dtype)
-    ic = jnp.asarray(problem.ic_temp, dtype)
+    dt = jnp.asarray(problem.dt, cdt)
+    ic = jnp.asarray(problem.ic_temp, cdt)
     num_steps = int(problem.num_steps)
     n_bins = len(problem.bin_counts) if problem.bin_counts is not None else 0
     has_watch = problem.watcher_nodes is not None
@@ -219,23 +238,23 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         idx_np, inv_np, oshape, stn = _overlay_prep(problem)
         remap = lambda v: np.asarray(v)[inv_np]
         node_ids = lambda ids: idx_np[np.asarray(ids)]
-        dev = {"K": jnp.asarray(stn["K"], dtype),
-               "M": jnp.asarray(stn["M"], dtype),
-               "G": jnp.asarray(stn["G"], dtype),
-               "Mp": jnp.asarray(stn["Mp"], dtype)}
+        dev = {"K": jnp.asarray(stn["K"], cdt),
+               "M": jnp.asarray(stn["M"], cdt),
+               "G": jnp.asarray(stn["G"], cdt),
+               "Mp": jnp.asarray(stn["Mp"], cdt)}
     else:
         remap = lambda v: v
         node_ids = lambda ids: np.asarray(ids)
         # Large arrays enter the jitted core as ARGUMENTS, not closure
         # constants (closure constants trigger XLA constant folding).
-        dev = problem.ell.device_put(dtype)
+        dev = problem.ell.device_put(cdt)
     dev.update({
-        "free": jnp.asarray(remap(~problem.dirichlet), dtype),
-        "dirich": jnp.asarray(remap(problem.dirichlet), dtype),
-        "heat_t": jnp.asarray(problem.heating.time, dtype),
-        "heat_T": jnp.asarray(problem.heating.temp, dtype),
-        "r_sq": jnp.asarray(remap(nodes[:, 1] ** 2), dtype),
-        "heat_f": jnp.asarray(remap(problem.heat_mask), dtype),
+        "free": jnp.asarray(remap(~problem.dirichlet), cdt),
+        "dirich": jnp.asarray(remap(problem.dirichlet), cdt),
+        "heat_t": jnp.asarray(problem.heating.time, cdt),
+        "heat_T": jnp.asarray(problem.heating.temp, cdt),
+        "r_sq": jnp.asarray(remap(nodes[:, 1] ** 2), cdt),
+        "heat_f": jnp.asarray(remap(problem.heat_mask), cdt),
     })
     if overlay is not None:
         dev["to_node"] = jnp.asarray(idx_np)
@@ -246,7 +265,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         dev.update({
             "band_nodes": jnp.asarray(node_ids(problem.band_nodes)),
             "band_bins": jnp.asarray(problem.band_bins),
-            "bin_counts": jnp.asarray(problem.bin_counts, dtype),
+            "bin_counts": jnp.asarray(problem.bin_counts, cdt),
             "axis_nodes": jnp.asarray(node_ids(problem.axis_nodes)),
         })
 
@@ -280,14 +299,72 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         apply_mp_s = lambda y: s_mp * apply_Mp(s_mp * y)
 
         pcr = None
-        if use_vmem and precondition == "rline":
+        if use_vmem and precondition == "rline" and not f64_refine:
             # r-line PCR factors on the overlay lattice (9-point operator's
             # r-couplings are planes 3/4, same as the 7-point layout) —
             # factored once per transient, outside the scan
             from heatflow_tpu.ops.pallas_cg import pcr_pack
             pcr = pcr_pack(A9, s.reshape(oshape), free.reshape(oshape))
 
-        coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fw * fw)
+        if f64_refine:
+            # f32 casts of the scaled system for the inner correction
+            # solves; the f64 masters above compute only per-pass residuals
+            s32 = s.astype(dtype)
+            free32 = free.astype(dtype)
+            s_mp32 = s_mp.astype(dtype)
+            if overlay is not None:
+                A9_32 = A9.astype(dtype)
+                Mp32, G32 = dev["Mp"].astype(dtype), dev["G"].astype(dtype)
+                apply_A32 = lambda v: apply_stencil(
+                    A9_32, v.reshape(oshape)).ravel()
+                apply_Mp32 = lambda v: apply_stencil(
+                    Mp32, v.reshape(oshape)).ravel()
+                apply_G32 = lambda v: apply_stencil(
+                    G32, v.reshape(oshape)).ravel()
+                if use_vmem and precondition == "rline":
+                    from heatflow_tpu.ops.pallas_cg import pcr_pack
+                    pcr = pcr_pack(A9_32, s32.reshape(oshape),
+                                   free32.reshape(oshape))
+            else:
+                A_vals32 = A_vals.astype(dtype)
+                Mp32v, G32v = dev["Mp"].astype(dtype), dev["G"].astype(dtype)
+                apply_A32 = lambda v: ell_apply(cols, A_vals32, v)
+                apply_Mp32 = lambda v: ell_apply(cols, Mp32v, v)
+                apply_G32 = lambda v: ell_apply(cols, G32v, v)
+            apply_s32 = lambda y: s32 * apply_A32(s32 * y)
+            apply_mp_s32 = lambda y: s_mp32 * apply_Mp32(s_mp32 * y)
+
+        def _solve_refined(bt, y0):
+            """f64-residual / f32-correction refinement (see
+            stepper._solve_refined; same degenerate-rhs stop floor)."""
+            from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
+            floor2 = jnp.asarray(1e-30, cdt) * jnp.sum(bt * bt)
+            y = y0
+            iters = jnp.zeros((), jnp.int32)
+            for _ in range(f64_refine):
+                r64 = bt - free * apply_s(y)
+                r32 = r64.astype(dtype)
+                rn2 = jnp.sum(r64 * r64)
+                if use_vmem:
+                    rtol_eff = jnp.where(rn2 > floor2, rtol, 1.0
+                                         ).astype(dtype)
+                    dy2, its = cg_vmem_tol(
+                        A9_32, (s32 * free32).reshape(oshape),
+                        r32.reshape(oshape), jnp.zeros(oshape, dtype),
+                        rtol_eff, maxiter=maxiter, rtol_wrt="b",
+                        interpret=vmem_interpret, pcr=pcr)
+                    dy = dy2.ravel()
+                else:
+                    dsol = pcg(apply_s32, r32, jnp.zeros((n,), dtype),
+                               mask=free32, rtol=rtol, maxiter=maxiter,
+                               atol=jnp.sqrt(floor2).astype(dtype),
+                               rtol_wrt="b")
+                    dy, its = dsol.x, dsol.iters
+                y = y + dy.astype(cdt)
+                iters = iters + its
+            return y, iters
+
+        coeff = jnp.asarray(-4.0 * np.log(2.0), cdt) / (fw * fw)
         profile = jnp.exp(coeff * dev["r_sq"]) * dev["heat_f"]
 
         # volumetric source: rhs += dt ∫ f φ r dx = dt (M_proj @ f)
@@ -314,7 +391,11 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
             g = g0 + amp * g1
             b = (apply_M(u_prev) + b_src - (Ag0 + amp * Ag1)) * s
             y0 = (seed / jnp.where(s > 0, s, 1.0)) * free
-            if differentiable:
+            if f64_refine:
+                y, iters = _solve_refined(b * free, y0)
+                u = y * s * free + g
+                outs = {"cg_iters": iters}
+            elif differentiable:
                 x = pcg_solve(apply_s, b * free, y0, mask=free, rtol=rtol,
                               maxiter=maxiter)
                 u = x * s * free + g
@@ -340,10 +421,17 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
             if has_watch:
                 outs["watch"] = u[dev["watch"]]
             if record_gradient:
-                br = s_mp * apply_G(u)
-                gsol = pcg(apply_mp_s, br, gr_prev / s_mp, rtol=proj_rtol,
-                           maxiter=proj_maxiter)
-                gr = gsol.x * s_mp
+                if f64_refine:
+                    # scaled mass solve is well-conditioned: f32 suffices
+                    br = s_mp32 * apply_G32(u.astype(dtype))
+                    gsol = pcg(apply_mp_s32, br, gr_prev / s_mp32,
+                               rtol=proj_rtol, maxiter=proj_maxiter)
+                    gr = gsol.x * s_mp32
+                else:
+                    br = s_mp * apply_G(u)
+                    gsol = pcg(apply_mp_s, br, gr_prev / s_mp,
+                               rtol=proj_rtol, maxiter=proj_maxiter)
+                    gr = gsol.x * s_mp
                 vals = gr[dev["band_nodes"]]
                 sums = jax.ops.segment_sum(vals, dev["band_bins"],
                                            num_segments=n_bins)
@@ -358,7 +446,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
             return carry_out, outs
 
         gr0 = jnp.zeros((n,), dtype)
-        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt + t0
+        ts = jnp.arange(1, num_steps + 1, dtype=cdt) * dt + t0
         carry0 = (u0, u0, gr0) if extrapolate else (u0, gr0)
         carry_fin, ys = jax.lax.scan(step, carry0, ts)
         u_fin = carry_fin[0]
@@ -370,18 +458,18 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
 
     def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None, t0=0.0,
                  source=None):
-        kp = jnp.asarray(problem.kappas if kappas is None else kappas, dtype)
+        kp = jnp.asarray(problem.kappas if kappas is None else kappas, cdt)
         rc = jnp.asarray(problem.rho_cvs if rho_cvs is None else rho_cvs,
-                         dtype)
-        fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, dtype)
-        u0 = jnp.full((n,), ic, dtype) if u0 is None \
-            else jnp.asarray(u0, dtype)
-        src = None if source is None else jnp.asarray(source, dtype)
+                         cdt)
+        fw = jnp.asarray(problem.fwhm if fwhm is None else fwhm, cdt)
+        u0 = jnp.full((n,), ic, cdt) if u0 is None \
+            else jnp.asarray(u0, cdt)
+        src = None if source is None else jnp.asarray(source, cdt)
         if overlay is not None:
             # node ordering at the API boundary, lattice ordering inside
             u0 = u0[dev["to_latt"]]
             src = None if src is None else src[dev["to_latt"]]
-        ys = jitted(dev, kp, rc, fw, u0, jnp.asarray(t0, dtype), src)
+        ys = jitted(dev, kp, rc, fw, u0, jnp.asarray(t0, cdt), src)
         if overlay is not None:
             ys["final_u"] = ys["final_u"][dev["to_node"]]
             if "field" in ys:

@@ -17,6 +17,8 @@ import pytest
 
 import __graft_entry__ as g
 from heatflow_tpu.sim.stepper import make_simulate_fn
+from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
+                                           make_simulate_fn_unstructured)
 
 
 @pytest.fixture(scope="module")
@@ -95,3 +97,43 @@ def test_refine_validation():
             make_simulate_fn(problem, dtype=jnp.float32, f64_refine=1)
         finally:
             jax.config.update("jax_enable_x64", prev)
+
+
+def test_refined_unstructured_matches_f64(tiny_unstructured):
+    """Unstructured (overlay) twin: f64_refine lands orders closer to the
+    f64 trajectory than plain f32 at the same inner tolerance, through
+    both the ELL/XLA and the overlay-VMEM (interpreter) inner engines."""
+    problem, truth = tiny_unstructured
+    plain = make_simulate_fn_unstructured(
+        problem, dtype=jnp.float32, rtol=1e-5, rtol_wrt="r0",
+        record_gradient=False)()
+    e_plain = _trace_err(plain, truth)
+    for solver in ("xla", "vmem"):
+        ys = make_simulate_fn_unstructured(
+            problem, dtype=jnp.float32, rtol=1e-4, solver=solver,
+            record_gradient=False, f64_refine=2)()
+        e_ref = _trace_err(ys, truth)
+        assert e_ref < e_plain / 20, (solver, e_ref, e_plain)
+    with pytest.raises(ValueError, match="float32"):
+        make_simulate_fn_unstructured(problem, dtype=jnp.float64,
+                                      f64_refine=1)
+
+
+@pytest.fixture(scope="module")
+def tiny_unstructured():
+    from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+    from heatflow_tpu.mesh.unstructured_gen import build_unstructured_mesh
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["timing"]["num_steps"] = 8
+    domain, mats = build_layout(cfg)
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=3)
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                           temp=df["temp"].to_numpy())
+    problem = build_problem_unstructured(
+        umesh, heating, cfg, watcher_points=coupler_watcher_points(cfg))
+    truth = make_simulate_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-13, record_gradient=False)()
+    return problem, truth
