@@ -117,7 +117,7 @@ def pcg(apply_op: Callable[[jnp.ndarray], jnp.ndarray],
 
 
 def pcg_solve(apply_op, b, x0, *, precond=None, mask=None, rtol=1e-10,
-              atol=0.0, maxiter=2000) -> jnp.ndarray:
+              atol=0.0, maxiter=2000, rtol_wrt: str = "b") -> jnp.ndarray:
     """Differentiable PCG solve via implicit differentiation.
 
     Wraps :func:`pcg` in ``lax.custom_linear_solve(symmetric=True)`` so
@@ -130,7 +130,7 @@ def pcg_solve(apply_op, b, x0, *, precond=None, mask=None, rtol=1e-10,
     """
     def solve_fn(mv, rhs):
         return pcg(mv, rhs, x0, precond=precond, mask=mask, rtol=rtol,
-                   atol=atol, maxiter=maxiter).x
+                   atol=atol, maxiter=maxiter, rtol_wrt=rtol_wrt).x
 
     op = (lambda v: apply_op(v) * mask) if mask is not None else apply_op
     return jax.lax.custom_linear_solve(op, b, solve_fn, symmetric=True)

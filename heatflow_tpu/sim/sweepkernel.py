@@ -28,7 +28,7 @@ from heatflow_tpu.sim.problem import Problem2D
 
 def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                     num_steps, base_k, fixed_iters, rtol, maxiter,
-                    extrapolate, rline=False):
+                    extrapolate, rline=False, rtol_wrt="b"):
     """Whole-batch backward-Euler scan with the per-config Pallas VMEM
     solvers (shared by the structured sweep engine and the grid-overlay
     unstructured one). ``ops`` needs stencils A0/K_var/M_op (7- or 9-point,
@@ -77,7 +77,8 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
         else:
             X, _it = cg_vmem_batched_tol(
                 ops["A0"], ops["K_var"], dks, sm, Bv, Y0, rtol,
-                maxiter=maxiter, interpret=interpret, rline=rline)
+                maxiter=maxiter, interpret=interpret, rline=rline,
+                rtol_wrt=rtol_wrt)
         Un = X * sm + G
         return (Un, U), Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
 
@@ -98,7 +99,8 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                   maxiter: int = 4000, fixed_iters: int | None = None,
                   precondition: str = "jacobi",
                   num_steps: int | None = None, mesh=None,
-                  solver: str = "xla", warm_start: str = "previous"):
+                  solver: str = "xla", warm_start: str = "previous",
+                  rtol_wrt: str = "b"):
     """Build simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces
     (B, S, W). vmappable/shardable along B; differentiable in both inputs.
 
@@ -115,6 +117,13 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     pool, ref parameter_sweep.py:436-446) — and, when the grid divides, the
     field's z axis over 'z' with XLA-inserted halo exchange. Batch size must
     be a multiple of the 'config' axis size (callers pad).
+
+    ``rtol_wrt``: "b" (default) stops each solve at ||r|| <= rtol·||b|| —
+    with warm starts late steps stop almost immediately, the throughput
+    regime. "r0" ties the tolerance to the warm-start residual (the
+    increment scale) — the accuracy regime: measured worst-lane deviation
+    on the ill-conditioned sweep protocol drops ~12x at ~2.3x the cost
+    (BENCHMARKS.md round-3 sweep table).
 
     ``solver='vmem'``: per-config VMEM-resident Pallas CG solves
     (ops.pallas_cg.cg_vmem_batched — the XLA path re-reads the operator
@@ -142,7 +151,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
                  maxiter, fixed_iters, precondition,
                  int(problem.num_steps if num_steps is None else num_steps),
-                 mesh, solver, warm_start)
+                 mesh, solver, warm_start, rtol_wrt)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -225,7 +234,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                               iters=fixed_iters).x
             else:
                 x = pcg_solve(apply_s, b, y0, precond=pre, mask=free,
-                              rtol=rtol, maxiter=maxiter)
+                              rtol=rtol, maxiter=maxiter, rtol_wrt=rtol_wrt)
             u = x * s * free + g
             return (u, u_prev), u.reshape(-1)[ops["watch"]]
 
@@ -244,7 +253,8 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                                base_k=base_k, fixed_iters=fixed_iters,
                                rtol=rtol, maxiter=maxiter,
                                extrapolate=extrapolate,
-                               rline=precondition == "rline")
+                               rline=precondition == "rline",
+                               rtol_wrt=rtol_wrt)
 
     if solver == "vmem":
         if mesh is not None and ("z" in mesh.axis_names

@@ -274,3 +274,20 @@ def test_sweep_driver_records_failed_runs(tmp_path):
     df = pd.read_csv(os.path.join(out, "failed_runs.csv"))
     assert set(df["status"]) == {"failed"}
     assert df["error"].str.contains("non-finite").all()
+
+
+def test_sweep_rtol_wrt_r0_converges_to_same_traces(sweep_problem):
+    """rtol_wrt='r0' (increment-relative stopping, round 3): at tight
+    tolerance both stopping regimes land on the same converged traces, on
+    both solver paths."""
+    _cfg, problem, _ = sweep_problem
+    ks = np.array([2.0, 20.0])
+    fs = np.array([problem.fwhm, problem.fwhm])
+    ref = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-12,
+                                   maxiter=20000)(ks, fs))
+    for solver in ("xla", "vmem"):
+        tr = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-11,
+                                      maxiter=20000, rtol_wrt="r0",
+                                      solver=solver)(ks, fs))
+        np.testing.assert_allclose(tr, ref, rtol=1e-7,
+                                   atol=1e-7 * np.abs(ref).max())
