@@ -70,6 +70,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         warm_start: str = "previous",
                         record_gradient: bool = False,
                         rtol: float | None = None,
+                        rtol_wrt: str = "b",
                         resume: bool = False):
     """Run the sweep. ``num_processes`` is accepted for API parity and
     ignored — parallelism is the vmapped batch, sharded over ``devices``
@@ -85,6 +86,10 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     dtype = dtype or (jnp.float32 if jax.default_backend() != "cpu"
                       else default_dtype())
     rtol_kw = {} if rtol is None else {"rtol": rtol}
+    if rtol_wrt != "b":
+        # increment-relative stopping: the sweep accuracy regime
+        # (~12x lower worst-lane deviation at ~2.3x cost — BENCHMARKS.md)
+        rtol_kw["rtol_wrt"] = rtol_wrt
     devs = list(devices) if devices is not None else jax.devices()
     mesh = None
     if len(devs) > 1:
@@ -328,6 +333,10 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="skip runs already in successful_runs.csv; retry "
                         "failed ones")
+    p.add_argument("--rtol-wrt", choices=["b", "r0"], default="b",
+                   help="CG stopping reference: 'b' (throughput regime) or "
+                        "'r0' (increment-relative accuracy regime — "
+                        "BENCHMARKS.md round-3 sweep table)")
     p.add_argument("--rtol", type=float, default=None,
                    help="CG stopping tolerance for tolerance-based solves "
                         "(default: engine default 1e-6)")
@@ -355,7 +364,7 @@ def main(argv=None):
         suppress_print=not args.verbose, batch_size=args.batch_size,
         solver=args.solver, fixed_iters=args.fixed_iters,
         warm_start=args.warm_start, record_gradient=args.record_gradient,
-        rtol=args.rtol, resume=args.resume)
+        rtol=args.rtol, rtol_wrt=args.rtol_wrt, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -394,7 +394,8 @@ def make_sweep_fn_recording(problem: Problem2D, *,
                             dtype=jnp.float32, rtol: float = 1e-6,
                             maxiter: int = 4000,
                             fixed_iters: int | None = None,
-                            warm_start: str = "previous", mesh=None):
+                            warm_start: str = "previous", mesh=None,
+                            rtol_wrt: str = "b"):
     """Full-surface sweep: the COMPLETE stepper (watcher + radial-gradient
     accumulation, per-step r-weighted L2 projection) vmapped over configs —
     the artifact-parity mode matching the reference, where every sweep run
@@ -423,19 +424,19 @@ def make_sweep_fn_recording(problem: Problem2D, *,
     (tests/test_round3_fixes.py)."""
     from heatflow_tpu.sim.stepper import make_simulate_fn
     cache_key = ("sweep_fn_rec", vary_material, jnp.dtype(dtype).name, rtol,
-                 maxiter, fixed_iters, warm_start, mesh)
+                 maxiter, fixed_iters, warm_start, mesh, rtol_wrt)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
     if problem.radial is None:
         raise ValueError("gradient-recording sweeps need radial sampling "
                          "on the problem")
-    # rtol_wrt='b' matches the plain sweep path's pcg_solve stopping rule,
-    # so toggling record_gradient does not change watcher traces at a
-    # given rtol (the stepper's own default is the warm-start-relative 'r0')
+    # rtol_wrt defaults to 'b' to match the plain sweep path's stopping
+    # rule, so toggling record_gradient does not change watcher traces at
+    # a given rtol; 'r0' selects the increment-relative accuracy regime
     fn = make_simulate_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
                           fixed_iters=fixed_iters, record_gradient=True,
-                          warm_start=warm_start, rtol_wrt="b")
+                          warm_start=warm_start, rtol_wrt=rtol_wrt)
     m_idx = list(problem.mesh.material_tags).index(vary_material)
     base_kp = np.asarray(problem.kappas, float)
     rc = jnp.asarray(problem.rho_cvs, dtype)
