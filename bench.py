@@ -32,6 +32,9 @@ def _enable_compilation_cache():
         cache_dir = os.path.join(ROOT, ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # the official point's one f64 refinement pass needs x64 (the f32
+        # compute path is explicitly cast and unaffected)
+        jax.config.update("jax_enable_x64", True)
     except Exception as e:
         print(f"# compilation cache unavailable: {e}", file=sys.stderr)
 
@@ -62,19 +65,21 @@ def bench_tpu(problem, *, rtol=1e-4, maxiter=8000):
 
     # the with_diamond reference loop does watcher sampling + XDMF only (no
     # gradient projection, ref run_with_diamond.py:469-504) — benchmark the
-    # same per-step work. rtol is relative to the warm-start residual (the
-    # increment scale); solver='auto' engages the VMEM-resident Pallas CG
-    # when the mesh fits on-chip, preconditioned with the r-line PCR
-    # block-Jacobi (precondition='rline', round 3 — ~4-7x fewer iterations
-    # on this operator, ops/linesolve.py). Accuracy at this point vs the
-    # f64 ground truth: o-side trace peak 1.9 K (rms 0.38 K), p-side peak
-    # 1e-3 K — strictly better than round 2's official rtol-1e-3 jacobi
-    # point on BOTH axes (speed and trace error); the full frontier is in
-    # BENCHMARKS.md.
+    # same per-step work. solver='auto' engages the VMEM-resident Pallas CG
+    # preconditioned with the r-line PCR block-Jacobi
+    # (precondition='rline', ops/linesolve.py), seeded with the linear
+    # time extrapolation, plus ONE f64-residual refinement pass per step
+    # (f64_refine=1 — the f64 outer removes the f32 operator-representation
+    # floor from the achievable error; sim/stepper._solve_refined).
+    # Accuracy at this official point vs the f64 ground truth: o-side
+    # trace peak 0.55 K (rms 0.15 K) — strictly better than round 3's
+    # earlier rline-only point (485 steps/s, 1.92 K) on BOTH axes; the
+    # full frontier incl. f64-indistinguishable modes is in BENCHMARKS.md.
     fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
                           maxiter=maxiter, record_gradient=False,
                           record_fields=False, rtol_wrt="r0",
-                          solver="auto", precondition="rline")
+                          solver="auto", precondition="rline",
+                          warm_start="extrapolate", f64_refine=1)
     t0 = time.time()
     ys = fn()
     ys["final_u"].block_until_ready()
