@@ -71,6 +71,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         record_gradient: bool = False,
                         rtol: float | None = None,
                         rtol_wrt: str = "b",
+                        f64_refine: int = 0,
                         resume: bool = False):
     """Run the sweep. ``num_processes`` is accepted for API parity and
     ignored — parallelism is the vmapped batch, sharded over ``devices``
@@ -83,8 +84,22 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     failed runs are retried. The merged result set is re-written. (Beyond
     the reference, which restarts sweeps from scratch.)"""
     del write_xdmf  # per-run XDMF in sweeps is supported only via run2d
+    if f64_refine and dtype is None:
+        # the mixed mode is f32-around-f64 on every backend
+        dtype = jnp.float32
     dtype = dtype or (jnp.float32 if jax.default_backend() != "cpu"
                       else default_dtype())
+    if f64_refine:
+        if record_gradient:
+            raise ValueError("f64_refine composes with the batched VMEM "
+                             "sweep engine; --record-gradient runs the "
+                             "full stepper (drop one of the two)")
+        if solver != "vmem":
+            raise ValueError("f64_refine sweeps run through solver='vmem'")
+        if jnp.dtype(dtype) != jnp.float32:
+            # refine is the mixed mode AROUND f32; CPU test runs default to
+            # f64 where plain rtol already reaches any accuracy
+            raise ValueError("f64_refine needs dtype=float32")
     rtol_kw = {} if rtol is None else {"rtol": rtol}
     if rtol_wrt != "b":
         # increment-relative stopping: the sweep accuracy regime
@@ -130,6 +145,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         "solver": solver,
         "fixed_iters": fixed_iters,
         "record_gradient": record_gradient,
+        "f64_refine": f64_refine,
         "devices": [str(d) for d in devs],
         "timestamp": datetime.now().isoformat(),
         "watcher_points": {
@@ -177,6 +193,11 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             # default run2d applies, drivers/run2d.py). Applies to both
             # mesh kinds.
             rec_rtol = {"rtol": 1e-4}
+        if f64_refine and not rtol_kw:
+            # refine's inner correction solves stop wrt the per-pass f64
+            # residual; 1e-4 is the documented inner speed/accuracy point
+            # (BENCHMARKS.md mixed-precision table)
+            rtol_kw = rec_rtol = {"rtol": 1e-4}
         if isinstance(mesh_w, UnstructuredMesh):
             # imported / generated non-grid mesh → unstructured sweep kernel
             # (config-axis sharded over the device mesh exactly like the
@@ -189,7 +210,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             sweep_fn = make_sweep_fn_unstructured(
                 problem, dtype=dtype, fixed_iters=fixed_iters,
                 warm_start=warm_start, solver=solver, mesh=mesh,
-                record_gradient=record_gradient, **rec_rtol)
+                record_gradient=record_gradient, f64_refine=f64_refine,
+                **rec_rtol)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
@@ -209,7 +231,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                 sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
                                          solver=solver,
                                          fixed_iters=fixed_iters,
-                                         warm_start=warm_start, **rtol_kw)
+                                         warm_start=warm_start,
+                                         f64_refine=f64_refine, **rtol_kw)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])
@@ -349,8 +372,18 @@ def main(argv=None):
                    help="CG seed per step: previous field, or 2u_n - u_{n-1} "
                         "(accuracy knob at generous fixed-iteration budgets; "
                         "see BENCHMARKS.md)")
+    p.add_argument("--f64-refine", type=int, default=0, metavar="N",
+                   help="mixed-precision sweeps (--solver vmem, f32): N "
+                        "passes of f64-operator residual refinement around "
+                        "the f32 batched VMEM correction solve per step — "
+                        "breaks the f32 representation floor per sweep lane "
+                        "(BENCHMARKS.md mixed-precision table)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
+    if args.f64_refine:
+        # the refinement's f64 outer residual needs x64 (validated in the
+        # sweep makers); the f32 compute path is explicitly cast
+        jax.config.update("jax_enable_x64", True)
     if any(x <= 0 for x in args.num_points):
         p.error("Number of points must be positive")
     for rng_name in ("fwhm_range", "k_range", "width_range"):
@@ -364,7 +397,8 @@ def main(argv=None):
         suppress_print=not args.verbose, batch_size=args.batch_size,
         solver=args.solver, fixed_iters=args.fixed_iters,
         warm_start=args.warm_start, record_gradient=args.record_gradient,
-        rtol=args.rtol, rtol_wrt=args.rtol_wrt, resume=args.resume)
+        rtol=args.rtol, rtol_wrt=args.rtol_wrt,
+        f64_refine=args.f64_refine, resume=args.resume)
 
 
 if __name__ == "__main__":

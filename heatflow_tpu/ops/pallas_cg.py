@@ -30,6 +30,29 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET = 100 * 1024 * 1024
 
 
+def _imap_cfg(i):
+    """Per-config block index map. Mosaic requires index maps to return
+    i32; under jax_enable_x64 plain Python ints trace to i64 and the
+    kernel fails to legalize (repro'd on this jax/libtpu — hit by the
+    f64_refine paths, which enable x64 around the f32 kernels)."""
+    return jnp.int32(i), jnp.int32(0), jnp.int32(0)
+
+
+def _imap_shared(i):
+    return jnp.int32(0), jnp.int32(0), jnp.int32(0)
+
+
+def _smem_whole(shape):
+    """Whole-array SMEM spec with an explicit i32 index map — the default
+    map synthesized for ``pl.BlockSpec(memory_space=SMEM)`` under a grid
+    returns Python ints, which trace to i64 under x64 (see _imap_cfg)."""
+    nd = len(shape)
+    return pl.BlockSpec(shape,
+                        lambda i, _n=nd: tuple(jnp.int32(0)
+                                               for _ in range(_n)),
+                        memory_space=pltpu.SMEM)
+
+
 def fits_in_vmem(nz: int, nr: int, dtype=jnp.float32,
                  n_points: int = 7, extra_planes: int = 0) -> bool:
     """``extra_planes``: additional solution-sized VMEM planes the kernel
@@ -409,15 +432,15 @@ def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     """
     B, nz, nr = b.shape
     npts = A0.shape[0]
-    per_cfg = pl.BlockSpec((1, nz, nr), lambda i: (i, 0, 0),
+    per_cfg = pl.BlockSpec((1, nz, nr), _imap_cfg,
                            memory_space=pltpu.VMEM)
-    shared = pl.BlockSpec((npts, nz, nr), lambda i: (0, 0, 0),
+    shared = pl.BlockSpec((npts, nz, nr), _imap_shared,
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_sweep_cg_kernel, iters=iters),
         grid=(B,),
         out_shape=jax.ShapeDtypeStruct((B, nz, nr), b.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=[_smem_whole(dks.shape),
                   shared, shared, per_cfg, per_cfg, per_cfg],
         out_specs=per_cfg,
         compiler_params=pltpu.CompilerParams(
@@ -466,7 +489,7 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, Kv_ref, sm_ref, b_ref,
     p = z
     rz = jnp.sum(r * z)
     rr = jnp.sum(r * r) if rline else rz
-    rtol = rtol_ref[0, 0]
+    rtol = rtol_ref[b_idx, 0]
     ref2 = rr if rtol_wrt == "r0" else jnp.sum(b * b)
     stop2 = rtol * rtol * ref2
 
@@ -520,10 +543,13 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     """
     B, nz, nr = b.shape
     npts = A0.shape[0]
-    rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
-    per_cfg = pl.BlockSpec((1, nz, nr), lambda i: (i, 0, 0),
+    # scalar rtol or per-config (B,) — e.g. the f64-refine degenerate-lane
+    # guard stops an already-converged lane at its first residual check
+    rtol_arr = jnp.broadcast_to(
+        jnp.asarray(rtol, b.dtype).reshape(-1, 1), (B, 1))
+    per_cfg = pl.BlockSpec((1, nz, nr), _imap_cfg,
                            memory_space=pltpu.VMEM)
-    shared = pl.BlockSpec((npts, nz, nr), lambda i: (0, 0, 0),
+    shared = pl.BlockSpec((npts, nz, nr), _imap_shared,
                           memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((rline_levels(nr), 3, nz, nr), b.dtype)] \
         if rline else []
@@ -533,11 +559,11 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
         grid=(B,),
         out_shape=(jax.ShapeDtypeStruct((B, nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((B,), jnp.int32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=[_smem_whole(dks.shape),
+                  _smem_whole(rtol_arr.shape),
                   shared, shared, per_cfg, per_cfg, per_cfg],
         out_specs=(per_cfg,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+                   _smem_whole((B,))),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET),

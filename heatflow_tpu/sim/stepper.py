@@ -327,22 +327,29 @@ def make_simulate_fn(problem: Problem2D,
             z32 = jnp.zeros((nz, nr), dtype)
             for _ in range(f64_refine):
                 r64 = bt - free * apply_A_s(y)
-                r32 = r64.astype(dtype)
                 rn2 = jnp.sum(r64 * r64)
+                degen = rn2 <= floor2
+                # Normalize the correction rhs to unit norm for the f32
+                # solve: residual scales far below 1 put the f32 stopping
+                # target rtol²·‖b‖² into underflow (the CG then grinds on
+                # denormal noise to maxiter and poisons — measured in the
+                # batched sweep twin on a coarse problem). CG is
+                # scale-invariant: solve for r/‖r‖, rescale the update.
+                rnorm = jnp.sqrt(jnp.where(degen, 1.0, rn2))
+                r32 = (r64 / rnorm).astype(dtype)
                 if use_vmem:
                     # a degenerate correction rhs stops at the first check
-                    rtol_eff = jnp.where(rn2 > floor2, rtol, 1.0
-                                         ).astype(dtype)
+                    rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
                     dy, its = cg_vmem_tol(A32, sm32, r32, z32, rtol_eff,
                                           maxiter=maxiter, rtol_wrt="b",
                                           pcr=pcr_stack32)
                 else:
+                    rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
                     dsol = pcg(apply_A32_s, r32, z32, precond=pre32,
-                               mask=free32, rtol=rtol, maxiter=maxiter,
-                               atol=jnp.sqrt(floor2).astype(dtype),
+                               mask=free32, rtol=rtol_eff, maxiter=maxiter,
                                rtol_wrt="b")
                     dy, its = dsol.x, dsol.iters
-                y = y + dy.astype(cdt)
+                y = y + dy.astype(cdt) * rnorm
                 iters = iters + its
             return CGResult(x=y, iters=iters,
                             residual=jnp.zeros((), cdt),

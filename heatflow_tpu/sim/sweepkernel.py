@@ -28,7 +28,8 @@ from heatflow_tpu.sim.problem import Problem2D
 
 def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                     num_steps, base_k, fixed_iters, rtol, maxiter,
-                    extrapolate, rline=False, rtol_wrt="b"):
+                    extrapolate, rline=False, rtol_wrt="b",
+                    f64_refine=0):
     """Whole-batch backward-Euler scan with the per-config Pallas VMEM
     solvers (shared by the structured sweep engine and the grid-overlay
     unstructured one). ``ops`` needs stencils A0/K_var/M_op (7- or 9-point,
@@ -38,18 +39,26 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     fresh start); ``step0`` the integer step offset of the segment.
     Returns (traces (B, S, W), u_fin, u_penultimate) — the last two
     fields re-enter the next time chunk so chunked 'extrapolate' runs are
-    exactly the unchunked trajectory."""
+    exactly the unchunked trajectory.
+
+    ``f64_refine=N``: mixed-precision iterative refinement, the sweep twin
+    of ``stepper.make_simulate_fn(f64_refine=N)`` — ``ops`` must then hold
+    f64 arrays; each step runs N passes of f64-operator residual (one
+    batched emulated-f64 stencil apply) around the f32 batched VMEM
+    correction solve, carrying the fields in f64. Breaks the f32
+    operator-representation floor per sweep lane."""
     from heatflow_tpu.ops.pallas_cg import (cg_vmem_batched,
                                             cg_vmem_batched_tol)
     interpret = jax.default_backend() != "tpu"
+    cdt = jnp.float64 if f64_refine else dtype
     free, dirich = ops["free"], ops["dirich"]
-    dks = (jnp.asarray(ks, dtype) - base_k) * dt
+    dks = (jnp.asarray(ks, cdt) - base_k) * dt
     diag = ops["A0"][0][None] + dks[:, None, None] * ops["K_var"][0][None]
     s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
     sm = s * free
     amp_offset = ops["heat_T"][0] - ic
-    coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) \
-        / (jnp.asarray(fs, dtype) ** 2)
+    coeff = jnp.asarray(-4.0 * np.log(2.0), cdt) \
+        / (jnp.asarray(fs, cdt) ** 2)
     profiles = jnp.exp(coeff[:, None, None] * ops["r_sq"][None]) \
         * ops["base"][None]
     apply_Ab = jax.vmap(lambda dk, v: apply_stencil(ops["A0"], v)
@@ -64,6 +73,14 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     Ag0 = apply_Ab(dks, g0)
     Ag1 = apply_Ab(dks, g1)
 
+    if f64_refine:
+        # f32 casts of the scaled system for the inner correction solves
+        # (the f64 master operator computes only the per-pass residuals)
+        A0_32 = ops["A0"].astype(dtype)
+        Kv_32 = ops["K_var"].astype(dtype)
+        dks_32 = dks.astype(dtype)
+        sm_32 = sm.astype(dtype)
+
     def step(carry, t):
         U, U_pp = carry
         amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
@@ -71,7 +88,36 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
         Bv = (apply_Mb(U) - (Ag0 + amp * Ag1)) * sm
         seed = 2.0 * U - U_pp if extrapolate else U
         Y0 = seed / s * free
-        if fixed_iters is not None:
+        if f64_refine:
+            # Inner stop floor per lane: once the f64 residual is at f64
+            # roundoff relative to this step's rhs there is nothing left
+            # to correct — rtol_eff=2 stops that lane at its first check
+            # (see stepper._solve_refined for the single-problem analysis)
+            floor2 = jnp.asarray(1e-30, cdt) * jnp.sum(Bv * Bv,
+                                                       axis=(1, 2))
+            Y = Y0
+            Z0 = jnp.zeros(Bv.shape, dtype)
+            for _ in range(f64_refine):
+                R = Bv - sm * apply_Ab(dks, sm * Y)
+                rn2 = jnp.sum(R * R, axis=(1, 2))
+                degen = rn2 <= floor2
+                # Normalize each lane's correction rhs to unit norm for
+                # the f32 solve: residual scales can sit far below 1 (a
+                # warm-start-exact step), where the f32 stopping target
+                # rtol²·‖b‖² underflows to zero and the kernel grinds on
+                # denormal noise to maxiter, then poisons (measured on
+                # the coarse dryrun problem). CG is scale-invariant, so
+                # solving for R/‖R‖ and rescaling is exact.
+                rnorm = jnp.sqrt(jnp.where(degen, 1.0, rn2))
+                rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
+                dY, _its = cg_vmem_batched_tol(
+                    A0_32, Kv_32, dks_32, sm_32,
+                    (R / rnorm[:, None, None]).astype(dtype), Z0,
+                    rtol_eff, maxiter=maxiter, interpret=interpret,
+                    rline=rline, rtol_wrt="b")
+                Y = Y + dY.astype(cdt) * rnorm[:, None, None]
+            X = Y
+        elif fixed_iters is not None:
             X = cg_vmem_batched(ops["A0"], ops["K_var"], dks, sm, Bv, Y0,
                                 iters=fixed_iters, interpret=interpret)
         else:
@@ -86,11 +132,11 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     # absolute times are bitwise those of the unchunked scan (adding
     # t0 = step0·dt separately rounds twice and the 1-ulp difference is
     # amplified by the gain-2 extrapolated seed — measured)
-    ts = (jnp.arange(1, num_steps + 1, dtype=dtype)
-          + jnp.asarray(step0, dtype)) * dt
-    u00 = jnp.asarray(u0, dtype)
+    ts = (jnp.arange(1, num_steps + 1, dtype=cdt)
+          + jnp.asarray(step0, cdt)) * dt
+    u00 = jnp.asarray(u0, cdt)
     (u_fin, u_pen), traces = jax.lax.scan(
-        step, (u00, jnp.asarray(u_pp, dtype)), ts)
+        step, (u00, jnp.asarray(u_pp, cdt)), ts)
     return jnp.swapaxes(traces, 0, 1), u_fin, u_pen
 
 
@@ -100,7 +146,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                   precondition: str = "jacobi",
                   num_steps: int | None = None, mesh=None,
                   solver: str = "xla", warm_start: str = "previous",
-                  rtol_wrt: str = "b"):
+                  rtol_wrt: str = "b", f64_refine: int = 0):
     """Build simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces
     (B, S, W). vmappable/shardable along B; differentiable in both inputs.
 
@@ -141,6 +187,13 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     benchmark in BENCHMARKS.md). Both solver paths use the same seeds, so
     vmem/XLA trajectory equality is preserved.
 
+    ``f64_refine=N`` (solver='vmem', dtype f32, needs x64): mixed-precision
+    sweeps — every lane's step runs N passes of f64-operator residual
+    around the f32 batched VMEM correction solve, carrying fields in f64
+    (the sweep twin of ``stepper.make_simulate_fn(f64_refine=N)``). Breaks
+    the f32 representation floor per sweep lane at ~one emulated-f64
+    stencil apply per pass per step.
+
     The built function is memoized on ``problem.extras`` keyed by every
     argument: repeated calls with identical parameters return the SAME
     compiled callable instead of re-tracing (re-tracing a fresh jit per call
@@ -151,14 +204,32 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
                  maxiter, fixed_iters, precondition,
                  int(problem.num_steps if num_steps is None else num_steps),
-                 mesh, solver, warm_start, rtol_wrt)
+                 mesh, solver, warm_start, rtol_wrt, f64_refine)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
-    dev = problem.device_arrays(dtype)
+    if f64_refine:
+        # mixed-precision sweeps: f64-residual refinement around the f32
+        # batched VMEM correction solves (vmem_sweep_scan docstring)
+        if jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("f64_refine is the mixed-precision mode: "
+                             "dtype must be float32")
+        if not jax.config.jax_enable_x64:
+            raise ValueError("f64_refine needs jax_enable_x64=True")
+        if solver != "vmem":
+            raise ValueError("f64_refine sweeps run through solver='vmem' "
+                             "(the batched VMEM correction kernel)")
+        if fixed_iters is not None:
+            raise ValueError("f64_refine composes with the tolerance-based "
+                             "solve (drop fixed_iters)")
+    # refine carries fields and residuals in f64: assemble the master
+    # operator and the scan constants at f64, cast f32 kernel operands
+    # inside vmem_sweep_scan
+    wdt = jnp.float64 if f64_refine else dtype
+    dev = problem.device_arrays(wdt)
     num_steps = int(problem.num_steps if num_steps is None else num_steps)
-    dt = jnp.asarray(problem.dt, dtype)
-    ic = jnp.asarray(problem.ic_temp, dtype)
+    dt = jnp.asarray(problem.dt, wdt)
+    ic = jnp.asarray(problem.ic_temp, wdt)
     nz, nr = problem.mesh.shape
     if "watch_flat" not in dev:
         raise ValueError("sweeps need watcher points on the problem")
@@ -254,7 +325,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                                rtol=rtol, maxiter=maxiter,
                                extrapolate=extrapolate,
                                rline=precondition == "rline",
-                               rtol_wrt=rtol_wrt)
+                               rtol_wrt=rtol_wrt, f64_refine=f64_refine)
 
     if solver == "vmem":
         if mesh is not None and ("z" in mesh.axis_names
@@ -292,12 +363,12 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
 
         def _batched(ops, ks, fs):
             B = len(ks)
-            u0 = jnp.full((B, nz, nr), ic, dtype)
-            return core_vmem(ops, ks, fs, u0, u0, jnp.asarray(0, dtype))[0]
+            u0 = jnp.full((B, nz, nr), ic, wdt)
+            return core_vmem(ops, ks, fs, u0, u0, jnp.asarray(0, wdt))[0]
 
         def _batched_seg(ops, ks, fs, u0, u_pp, step0):
             return core_vmem(ops, ks, fs, u0, u_pp,
-                             jnp.asarray(step0, dtype))
+                             jnp.asarray(step0, wdt))
 
     else:
         _batched = lambda ops, ks, fs: jax.vmap(
@@ -363,8 +434,8 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                               out_shardings=(cfg_sh, field_sh, field_sh))
 
     def simulate_batch(sample_k, fwhm):
-        return batched(ops, jnp.asarray(sample_k, dtype),
-                       jnp.asarray(fwhm, dtype))
+        return batched(ops, jnp.asarray(sample_k, wdt),
+                       jnp.asarray(fwhm, wdt))
 
     def segment(sample_k, fwhm, u0, step0, u_pp=None):
         """(traces (B, S, W), u_fin, u_penultimate) for one time chunk
@@ -373,11 +444,11 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         times bitwise). Pass the previous chunk's u_penultimate as
         ``u_pp`` so warm_start='extrapolate' seeds the chunk's first step
         from real history (omitted: seeds from u0, i.e. a fresh start)."""
-        u0 = jnp.asarray(u0, dtype)
-        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, dtype)
-        return batched_seg(ops, jnp.asarray(sample_k, dtype),
-                           jnp.asarray(fwhm, dtype), u0, u_pp,
-                           jnp.asarray(step0, dtype))
+        u0 = jnp.asarray(u0, wdt)
+        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, wdt)
+        return batched_seg(ops, jnp.asarray(sample_k, wdt),
+                           jnp.asarray(fwhm, wdt), u0, u_pp,
+                           jnp.asarray(step0, wdt))
 
     simulate_batch.segment = segment
     simulate_batch.one_config = lambda k, f: one_config(ops, k, f)[0]
@@ -489,7 +560,8 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
                            rtol: float = 1e-5, maxiter: int = 4000,
                            precondition: str = "jacobi",
                            verbose: bool = False, mesh=None,
-                           solver: str = "xla", warm_start: str = "previous"):
+                           solver: str = "xla", warm_start: str = "previous",
+                           rtol_wrt: str = "b", f64_refine: int = 0):
     """Run the full transient for a (possibly very large) batch with bounded
     device-call durations: the whole batch stays resident while time is
     integrated chunk by chunk. Returns traces (B, num_steps, W).
@@ -514,12 +586,14 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
         fn = make_sweep_fn_unstructured(
             problem, dtype=dtype, fixed_iters=fixed_iters, rtol=rtol,
             maxiter=maxiter, warm_start=warm_start, solver="vmem",
-            num_steps=chunk_len, mesh=mesh)
+            num_steps=chunk_len, mesh=mesh, rtol_wrt=rtol_wrt,
+            precondition=precondition, f64_refine=f64_refine)
     else:
         fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
                            rtol=rtol, maxiter=maxiter,
                            precondition=precondition, num_steps=chunk_len,
-                           mesh=mesh, solver=solver, warm_start=warm_start)
+                           mesh=mesh, solver=solver, warm_start=warm_start,
+                           rtol_wrt=rtol_wrt, f64_refine=f64_refine)
     sample_k = np.asarray(sample_k)
     fwhm = np.asarray(fwhm)
     B = len(sample_k)
@@ -529,7 +603,8 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
         sample_k = pad_to_multiple(sample_k, nc)
         fwhm = pad_to_multiple(fwhm, nc)
     nz, nr = fn.shape
-    u = jnp.full((len(sample_k), nz, nr), fn.ic_temp, dtype)
+    carry_dt = jnp.float64 if f64_refine else dtype
+    u = jnp.full((len(sample_k), nz, nr), fn.ic_temp, carry_dt)
     u_pp = u
     pieces = []
     done = 0

@@ -336,18 +336,22 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
 
         def _solve_refined(bt, y0):
             """f64-residual / f32-correction refinement (see
-            stepper._solve_refined; same degenerate-rhs stop floor)."""
+            stepper._solve_refined; same degenerate-rhs stop floor and
+            unit-norm rhs scaling — residual scales far below 1 put the
+            f32 stopping target rtol²·‖b‖² into underflow, where the
+            inner CG grinds to maxiter on denormal noise and poisons)."""
             from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
             floor2 = jnp.asarray(1e-30, cdt) * jnp.sum(bt * bt)
             y = y0
             iters = jnp.zeros((), jnp.int32)
             for _ in range(f64_refine):
                 r64 = bt - free * apply_s(y)
-                r32 = r64.astype(dtype)
                 rn2 = jnp.sum(r64 * r64)
+                degen = rn2 <= floor2
+                rnorm = jnp.sqrt(jnp.where(degen, 1.0, rn2))
+                r32 = (r64 / rnorm).astype(dtype)
+                rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
                 if use_vmem:
-                    rtol_eff = jnp.where(rn2 > floor2, rtol, 1.0
-                                         ).astype(dtype)
                     dy2, its = cg_vmem_tol(
                         A9_32, (s32 * free32).reshape(oshape),
                         r32.reshape(oshape), jnp.zeros(oshape, dtype),
@@ -356,11 +360,10 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                     dy = dy2.ravel()
                 else:
                     dsol = pcg(apply_s32, r32, jnp.zeros((n,), dtype),
-                               mask=free32, rtol=rtol, maxiter=maxiter,
-                               atol=jnp.sqrt(floor2).astype(dtype),
+                               mask=free32, rtol=rtol_eff, maxiter=maxiter,
                                rtol_wrt="b")
                     dy, its = dsol.x, dsol.iters
-                y = y + dy.astype(cdt)
+                y = y + dy.astype(cdt) * rnorm
                 iters = iters + its
             return y, iters
 
@@ -484,14 +487,17 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
 
 def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
                              dtype, rtol, maxiter, fixed_iters, warm_start,
-                             num_steps=None, mesh=None):
+                             num_steps=None, mesh=None, rtol_wrt="b",
+                             precondition="jacobi", f64_refine=0):
     """VMEM-kernel sweep path for grid-overlay meshes: prepare the lattice
     ops dict and delegate to the shared ``sweepkernel.vmem_sweep_scan``.
 
     ``mesh``: shard the config axis over the device mesh (shard_map, each
     device runs the Pallas kernel on its shard — same parity as the
     structured ``make_sweep_fn(mesh=...)``). ``num_steps`` overrides the
-    problem's step count (time-chunked execution)."""
+    problem's step count (time-chunked execution). ``rtol_wrt``,
+    ``precondition`` ('jacobi'/'rline') and ``f64_refine`` mirror the
+    structured maker (shared scan — see vmem_sweep_scan)."""
     from heatflow_tpu.ops.overlay import node_to_lattice
     from heatflow_tpu.ops.stencil import combine_operator
     from heatflow_tpu.sim.sweepkernel import vmem_sweep_scan
@@ -510,23 +516,32 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
             raise ValueError(
                 f"sweep working set for the {nz}x{nr} overlay exceeds the "
                 "VMEM budget; use solver='xla'")
+    if precondition not in ("jacobi", "rline"):
+        raise ValueError("solver='vmem' supports precondition='jacobi' "
+                         "or 'rline'")
+    if precondition == "rline" and fixed_iters is not None:
+        raise ValueError("rline-preconditioned vmem sweeps are "
+                         "tolerance-based (drop fixed_iters)")
 
-    dt = jnp.asarray(problem.dt, dtype)
-    ic = jnp.asarray(problem.ic_temp, dtype)
-    K = jnp.asarray(stn["K"], dtype)          # (n_mats, 9, Nz, Nr)
-    M = jnp.asarray(stn["M"], dtype)
-    A0, M_op = combine_operator(K, M, jnp.asarray(problem.kappas, dtype),
-                                jnp.asarray(problem.rho_cvs, dtype), dt)
+    # f64_refine carries fields/residuals in f64 (ops assembled at f64,
+    # f32 kernel operands cast inside the shared scan)
+    wdt = jnp.float64 if f64_refine else dtype
+    dt = jnp.asarray(problem.dt, wdt)
+    ic = jnp.asarray(problem.ic_temp, wdt)
+    K = jnp.asarray(stn["K"], wdt)            # (n_mats, 9, Nz, Nr)
+    M = jnp.asarray(stn["M"], wdt)
+    A0, M_op = combine_operator(K, M, jnp.asarray(problem.kappas, wdt),
+                                jnp.asarray(problem.rho_cvs, wdt), dt)
     remap = lambda v: node_to_lattice(np.asarray(v), idx_np, oshape)
     nodes = problem.mesh.nodes
     ops = {
         "A0": A0, "K_var": K[m_idx], "M_op": M_op,
-        "free": jnp.asarray(remap(~problem.dirichlet), dtype),
-        "dirich": jnp.asarray(remap(problem.dirichlet), dtype),
-        "r_sq": jnp.asarray(remap(nodes[:, 1] ** 2), dtype),
-        "base": jnp.asarray(remap(problem.heat_mask), dtype),
-        "heat_t": jnp.asarray(problem.heating.time, dtype),
-        "heat_T": jnp.asarray(problem.heating.temp, dtype),
+        "free": jnp.asarray(remap(~problem.dirichlet), wdt),
+        "dirich": jnp.asarray(remap(problem.dirichlet), wdt),
+        "r_sq": jnp.asarray(remap(nodes[:, 1] ** 2), wdt),
+        "base": jnp.asarray(remap(problem.heat_mask), wdt),
+        "heat_t": jnp.asarray(problem.heating.time, wdt),
+        "heat_T": jnp.asarray(problem.heating.temp, wdt),
         "watch": jnp.asarray(idx_np[np.asarray(problem.watcher_nodes)]),
     }
     base_k = float(problem.kappas[m_idx])
@@ -538,7 +553,9 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
                                ic=ic, dt=dt, num_steps=num_steps,
                                base_k=base_k, fixed_iters=fixed_iters,
                                rtol=rtol, maxiter=maxiter,
-                               extrapolate=extrapolate)
+                               extrapolate=extrapolate,
+                               rline=precondition == "rline",
+                               rtol_wrt=rtol_wrt, f64_refine=f64_refine)
 
     if mesh is not None:
         from jax import shard_map
@@ -552,11 +569,11 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
 
     def _batched(ops, ks, fs):
         B = len(ks)
-        u0 = jnp.full((B, nz, nr), ic, dtype)
-        return core(ops, ks, fs, u0, u0, jnp.asarray(0, dtype))[0]
+        u0 = jnp.full((B, nz, nr), ic, wdt)
+        return core(ops, ks, fs, u0, u0, jnp.asarray(0, wdt))[0]
 
     def _batched_seg(ops, ks, fs, u0, u_pp, step0):
-        return core(ops, ks, fs, u0, u_pp, jnp.asarray(step0, dtype))
+        return core(ops, ks, fs, u0, u_pp, jnp.asarray(step0, wdt))
 
     if mesh is None:
         batched = jax.jit(_batched)
@@ -575,18 +592,18 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
             out_shardings=(cfg_sh, fld_sh, fld_sh))
 
     def simulate_batch(sample_k, fwhm):
-        return batched(ops, jnp.asarray(sample_k, dtype),
-                       jnp.asarray(fwhm, dtype))
+        return batched(ops, jnp.asarray(sample_k, wdt),
+                       jnp.asarray(fwhm, wdt))
 
     def segment(sample_k, fwhm, u0, step0, u_pp=None):
         """(traces, u_fin, u_penultimate) for one time chunk — identical
         contract to the structured ``make_sweep_fn(...).segment`` (fields
         live on the overlay lattice)."""
-        u0 = jnp.asarray(u0, dtype)
-        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, dtype)
-        return batched_seg(ops, jnp.asarray(sample_k, dtype),
-                           jnp.asarray(fwhm, dtype), u0, u_pp,
-                           jnp.asarray(step0, dtype))
+        u0 = jnp.asarray(u0, wdt)
+        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, wdt)
+        return batched_seg(ops, jnp.asarray(sample_k, wdt),
+                           jnp.asarray(fwhm, wdt), u0, u_pp,
+                           jnp.asarray(step0, wdt))
 
     simulate_batch.segment = segment
     simulate_batch.shape = (nz, nr)
@@ -606,7 +623,9 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
                                solver: str = "xla",
                                record_gradient: bool = False,
                                num_steps: int | None = None,
-                               mesh=None):
+                               mesh=None, rtol_wrt: str = "b",
+                               precondition: str = "jacobi",
+                               f64_refine: int = 0):
     """Batched sweep kernel on an imported unstructured mesh:
     simulate_batch(sample_k (B,), fwhm (B,)) -> watcher traces (B, S, W) —
     the unstructured mirror of ``sweepkernel.make_sweep_fn`` (one vmapped
@@ -630,10 +649,14 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     reference's pool is mesh-kind-agnostic, ref parameter_sweep.py:436-446).
     Batch sizes must be a multiple of the 'config' axis (callers pad).
     ``num_steps`` overrides the chunk length for segmented execution
-    (``.segment`` — solver='vmem' overlay path)."""
+    (``.segment`` — solver='vmem' overlay path).
+
+    ``rtol_wrt``, ``precondition`` ('jacobi'/'rline', vmem) and
+    ``f64_refine`` (vmem, f32+x64: mixed-precision f64-residual refinement
+    per lane) mirror the structured ``make_sweep_fn``."""
     cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
                  maxiter, fixed_iters, warm_start, solver, record_gradient,
-                 num_steps, mesh)
+                 num_steps, mesh, rtol_wrt, precondition, f64_refine)
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -648,10 +671,20 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
         if record_gradient:
             raise ValueError("record_gradient sweeps run the full stepper; "
                              "use solver='xla'")
+        if f64_refine:
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError("f64_refine is the mixed-precision mode: "
+                                 "dtype must be float32")
+            if not jax.config.jax_enable_x64:
+                raise ValueError("f64_refine needs jax_enable_x64=True")
+            if fixed_iters is not None:
+                raise ValueError("f64_refine composes with the "
+                                 "tolerance-based solve (drop fixed_iters)")
         simulate_batch = _sweep_vmem_unstructured(
             problem, m_idx, dtype=dtype, rtol=rtol, maxiter=maxiter,
             fixed_iters=fixed_iters, warm_start=warm_start,
-            num_steps=num_steps, mesh=mesh)
+            num_steps=num_steps, mesh=mesh, rtol_wrt=rtol_wrt,
+            precondition=precondition, f64_refine=f64_refine)
         cache[cache_key] = simulate_batch
         return simulate_batch
     if solver != "xla":
@@ -659,12 +692,15 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     if num_steps is not None:
         raise ValueError("segmented (num_steps=...) unstructured sweeps "
                          "run through solver='vmem' (overlay meshes)")
+    if f64_refine:
+        raise ValueError("f64_refine sweeps run through solver='vmem' "
+                         "(the batched VMEM correction kernel)")
 
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
         differentiable=fixed_iters is None and not record_gradient,
-        warm_start=warm_start)
+        warm_start=warm_start, rtol_wrt=rtol_wrt)
     base_k = jnp.asarray(problem.kappas, dtype)
     rc = jnp.asarray(problem.rho_cvs, dtype)
     n = len(problem.mesh.nodes)

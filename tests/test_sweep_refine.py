@@ -1,0 +1,176 @@
+"""Mixed-precision sweeps: make_sweep_fn(f64_refine=N) — f64-operator
+residual refinement around the f32 batched VMEM correction kernel, per
+sweep lane (the sweep twin of stepper.make_simulate_fn(f64_refine=N),
+pinned in tests/test_refine.py). Each lane's converged trajectory is the
+f64 operator's solution while the per-iteration work stays f32/VMEM.
+
+Also pins the per-config rtol plumbing of cg_vmem_batched_tol (the
+degenerate-lane guard the refinement uses) and the rtol_wrt pass-through
+on the unstructured sweep maker (regression: the sweep driver forwards
+rtol_wrt to both mesh kinds)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+from heatflow_tpu.mesh.structured import build_structured_mesh
+from heatflow_tpu.mesh.unstructured_gen import build_unstructured_mesh
+from heatflow_tpu.sim.bc import HeatingCurve
+from heatflow_tpu.sim.problem import build_problem
+from heatflow_tpu.sim.sweepkernel import (make_sweep_fn,
+                                          run_sweep_time_chunked)
+from heatflow_tpu.sim.unstructured import (build_problem_unstructured,
+                                           make_sweep_fn_unstructured)
+from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
+
+KS = np.array([2.0, 3.8, 7.5])
+FS = np.array([4e-6, 6e-6, 9e-6])
+
+
+@pytest.fixture(scope="module")
+def sweep_problem():
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["timing"]["num_steps"] = 5
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                          temp=df["temp"].to_numpy())
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    problem = build_problem(mesh, heating, cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    truth = np.asarray(make_sweep_fn(problem, dtype=jnp.float64,
+                                     rtol=1e-12)(KS, FS), np.float64)
+    return problem, truth
+
+
+def test_sweep_refine_breaks_f32_floor(sweep_problem):
+    """Refined f32 sweep lands orders of magnitude closer to the f64
+    trajectories than the plain f32 vmem sweep at the same inner rtol."""
+    problem, truth = sweep_problem
+    plain = np.asarray(make_sweep_fn(
+        problem, dtype=jnp.float32, solver="vmem", rtol=1e-5,
+        maxiter=20000)(KS, FS), np.float64)
+    refined = make_sweep_fn(
+        problem, dtype=jnp.float32, solver="vmem", rtol=1e-5,
+        maxiter=20000, f64_refine=2)(KS, FS)
+    # fields and traces are carried in f64
+    assert np.asarray(refined).dtype == np.float64
+    e_plain = np.abs(plain - truth).max()
+    e_ref = np.abs(np.asarray(refined) - truth).max()
+    assert e_ref < e_plain / 20, (e_ref, e_plain)
+    assert e_ref < 1e-4
+
+
+def test_sweep_refine_composes_with_rline_and_extrapolate(sweep_problem):
+    """The production recipe (rline + extrapolated seed + refine) converges
+    to the same f64 trajectories."""
+    problem, truth = sweep_problem
+    refined = np.asarray(make_sweep_fn(
+        problem, dtype=jnp.float32, solver="vmem", rtol=1e-5,
+        maxiter=20000, f64_refine=2, precondition="rline",
+        warm_start="extrapolate")(KS, FS))
+    assert np.abs(refined - truth).max() < 1e-4
+
+
+def test_sweep_refine_time_chunked_matches_full(sweep_problem):
+    """Chunked refined sweeps thread the f64 warm-start history across
+    chunk boundaries — the chunked trajectory equals the unchunked one."""
+    problem, _ = sweep_problem
+    full = np.asarray(make_sweep_fn(
+        problem, dtype=jnp.float32, solver="vmem", rtol=1e-6,
+        maxiter=20000, f64_refine=2,
+        warm_start="extrapolate")(KS, FS))
+    ch = run_sweep_time_chunked(problem, KS, FS, step_chunk=2,
+                                dtype=jnp.float32, rtol=1e-6,
+                                maxiter=20000, f64_refine=2,
+                                solver="vmem", warm_start="extrapolate")
+    np.testing.assert_allclose(ch, full, rtol=0,
+                               atol=1e-7 * np.abs(full).max())
+
+
+def test_sweep_refine_unstructured_overlay():
+    """The grid-overlay unstructured sweep path shares the refined scan:
+    refined lanes reproduce the f64 ELL sweep."""
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["timing"]["num_steps"] = 4
+    domain, mats = build_layout(cfg)
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=7)
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                          temp=df["temp"].to_numpy())
+    problem = build_problem_unstructured(
+        umesh, heating, cfg, watcher_points=coupler_watcher_points(cfg))
+    truth = np.asarray(make_sweep_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-12)(KS, FS), np.float64)
+    refined = np.asarray(make_sweep_fn_unstructured(
+        problem, dtype=jnp.float32, solver="vmem", rtol=1e-5,
+        maxiter=20000, f64_refine=2)(KS, FS))
+    assert np.abs(refined - truth).max() < 1e-4
+
+
+def test_unstructured_sweep_rtol_wrt_accepted():
+    """Regression: the sweep driver forwards rtol_wrt='r0' to BOTH mesh
+    kinds; the unstructured maker must accept and apply it."""
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["timing"]["num_steps"] = 3
+    domain, mats = build_layout(cfg)
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=3)
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                          temp=df["temp"].to_numpy())
+    problem = build_problem_unstructured(
+        umesh, heating, cfg, watcher_points=coupler_watcher_points(cfg))
+    out = np.asarray(make_sweep_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-10, rtol_wrt="r0",
+        solver="vmem")(KS[:2], FS[:2]))
+    ref = np.asarray(make_sweep_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-12)(KS[:2], FS[:2]))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=1e-5 * np.abs(ref).max())
+
+
+def test_sweep_refine_tiny_residual_scales():
+    """Regression: on problems whose scaled residuals sit far below 1 (the
+    supercoarse flagship used by the multichip dry run), the f32 inner
+    stopping target rtol²·‖b‖² used to underflow to zero — the inner CG
+    ground to maxiter on denormal noise and poisoned progressive lanes.
+    The unit-norm rhs scaling keeps every inner solve at O(1)."""
+    import __graft_entry__ as g
+    problem, _ = g._tiny_flagship(size_scale=24.0)
+    base_k = float(problem.kappas[
+        list(problem.mesh.material_tags).index("p_sample")])
+    ks = base_k * np.linspace(0.5, 2.0, 4)
+    fs = problem.fwhm * np.linspace(0.8, 1.25, 4)
+    tr = np.asarray(make_sweep_fn(
+        problem, dtype=jnp.float32, rtol=1e-6, maxiter=2000, num_steps=4,
+        f64_refine=2, solver="vmem", warm_start="extrapolate")(ks, fs))
+    truth = np.asarray(make_sweep_fn(
+        problem, dtype=jnp.float64, rtol=1e-13, num_steps=4)(ks, fs))
+    assert np.isfinite(tr).all()
+    assert np.abs(tr - truth).max() < 1e-9
+
+
+def test_batched_tol_per_config_rtol():
+    """cg_vmem_batched_tol accepts a (B,) rtol — a lane at rtol>=1 stops at
+    its first residual check (the refinement's degenerate-lane guard)."""
+    from heatflow_tpu.ops.pallas_cg import cg_vmem_batched_tol
+    rng = np.random.default_rng(0)
+    nz, nr = 8, 16
+    # SPD 7-point operator: diagonally dominant random stencil
+    # constant off-diagonals keep the stencil operator symmetric (paired
+    # offsets share the coefficient); diagonal dominance makes it SPD
+    A = jnp.full((7, nz, nr), -0.3, jnp.float64)
+    A = A.at[0].set(4.0 + rng.random((nz, nr)))
+    Kv = 0.05 * A
+    dks = jnp.asarray([0.0, 0.1])
+    sm = jnp.ones((2, nz, nr), jnp.float64)
+    b = jnp.asarray(rng.random((2, nz, nr)))
+    rtols = jnp.asarray([1e-9, 2.0])
+    x, it = cg_vmem_batched_tol(A, Kv, dks, sm, b, jnp.zeros_like(b),
+                                rtols, maxiter=400, interpret=True)
+    it = np.asarray(it)
+    assert it[0] > 0
+    assert it[1] == 0
+    assert np.allclose(np.asarray(x[1]), 0.0)
