@@ -90,12 +90,9 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     dtype = dtype or (jnp.float32 if jax.default_backend() != "cpu"
                       else default_dtype())
     if f64_refine:
-        if record_gradient:
-            raise ValueError("f64_refine composes with the batched VMEM "
-                             "sweep engine; --record-gradient runs the "
-                             "full stepper (drop one of the two)")
-        if solver != "vmem":
-            raise ValueError("f64_refine sweeps run through solver='vmem'")
+        if solver != "vmem" and not record_gradient:
+            raise ValueError("f64_refine sweeps run through solver='vmem' "
+                             "(or the --record-gradient full stepper)")
         if jnp.dtype(dtype) != jnp.float32:
             # refine is the mixed mode AROUND f32; CPU test runs default to
             # f64 where plain rtol already reaches any accuracy
@@ -226,7 +223,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                     make_sweep_fn_recording
                 sweep_fn = make_sweep_fn_recording(
                     problem, dtype=dtype, fixed_iters=fixed_iters,
-                    warm_start=warm_start, mesh=mesh, **rec_rtol)
+                    warm_start=warm_start, mesh=mesh,
+                    f64_refine=f64_refine, **rec_rtol)
             else:
                 sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
                                          solver=solver,

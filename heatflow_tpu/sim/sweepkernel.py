@@ -466,7 +466,7 @@ def make_sweep_fn_recording(problem: Problem2D, *,
                             maxiter: int = 4000,
                             fixed_iters: int | None = None,
                             warm_start: str = "previous", mesh=None,
-                            rtol_wrt: str = "b"):
+                            rtol_wrt: str = "b", f64_refine: int = 0):
     """Full-surface sweep: the COMPLETE stepper (watcher + radial-gradient
     accumulation, per-step r-weighted L2 projection) vmapped over configs —
     the artifact-parity mode matching the reference, where every sweep run
@@ -495,7 +495,8 @@ def make_sweep_fn_recording(problem: Problem2D, *,
     (tests/test_round3_fixes.py)."""
     from heatflow_tpu.sim.stepper import make_simulate_fn
     cache_key = ("sweep_fn_rec", vary_material, jnp.dtype(dtype).name, rtol,
-                 maxiter, fixed_iters, warm_start, mesh, rtol_wrt)
+                 maxiter, fixed_iters, warm_start, mesh, rtol_wrt,
+                 f64_refine)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -504,20 +505,26 @@ def make_sweep_fn_recording(problem: Problem2D, *,
                          "on the problem")
     # rtol_wrt defaults to 'b' to match the plain sweep path's stopping
     # rule, so toggling record_gradient does not change watcher traces at
-    # a given rtol; 'r0' selects the increment-relative accuracy regime
+    # a given rtol; 'r0' selects the increment-relative accuracy regime.
+    # f64_refine vmaps the refined stepper (the XLA-path inner corrector;
+    # dtype/x64/fixed_iters validated in make_simulate_fn) — artifact-
+    # parity sweeps with f64-operator trajectories per lane.
     fn = make_simulate_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
                           fixed_iters=fixed_iters, record_gradient=True,
-                          warm_start=warm_start, rtol_wrt=rtol_wrt)
+                          warm_start=warm_start, rtol_wrt=rtol_wrt,
+                          f64_refine=f64_refine)
     m_idx = list(problem.mesh.material_tags).index(vary_material)
+    # refine carries fields/coefficients in f64 (stepper cdt)
+    wdt = jnp.float64 if f64_refine else dtype
     base_kp = np.asarray(problem.kappas, float)
-    rc = jnp.asarray(problem.rho_cvs, dtype)
+    rc = jnp.asarray(problem.rho_cvs, wdt)
     nz, nr = problem.mesh.shape
-    ic = jnp.asarray(problem.ic_temp, dtype)
+    ic = jnp.asarray(problem.ic_temp, wdt)
 
     def _batched(dev, mg, kps, fs, u0):
         return jax.vmap(
             lambda kp, f, u: fn.core(dev, mg, kp, rc, f, u,
-                                     jnp.asarray(0.0, dtype), None),
+                                     jnp.asarray(0.0, wdt), None),
             in_axes=(0, 0, 0))(kps, fs, u0)
 
     if mesh is None:
@@ -538,9 +545,9 @@ def make_sweep_fn_recording(problem: Problem2D, *,
         B = len(np.asarray(sample_k))
         kps = np.repeat(base_kp[None], B, axis=0)
         kps[:, m_idx] = np.asarray(sample_k)
-        u0 = jnp.full((B, nz, nr), ic, dtype)
-        ys = batched(fn.dev, fn.mg, jnp.asarray(kps, dtype),
-                     jnp.asarray(fwhm, dtype), u0)
+        u0 = jnp.full((B, nz, nr), ic, wdt)
+        ys = batched(fn.dev, fn.mg, jnp.asarray(kps, wdt),
+                     jnp.asarray(fwhm, wdt), u0)
         # host-side times: the device copy is sharded over configs, and
         # row 0 is not addressable on every process of a multihost run
         ys["times"] = np.arange(1, problem.num_steps + 1) * problem.dt

@@ -131,6 +131,34 @@ def test_unstructured_sweep_rtol_wrt_accepted():
     np.testing.assert_allclose(out, ref, atol=1e-5 * np.abs(ref).max())
 
 
+def test_recording_sweep_refine(sweep_problem):
+    """Artifact-parity (recording) sweeps compose with f64_refine: every
+    lane's full stepper — watcher traces AND per-step gradient projection
+    — runs the refined trajectory and reproduces the f64 recording
+    sweep."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn_recording
+    problem, _ = sweep_problem
+    truth = make_sweep_fn_recording(problem, dtype=jnp.float64,
+                                    rtol=1e-12)(KS, FS)
+    refined = make_sweep_fn_recording(problem, dtype=jnp.float32,
+                                      rtol=1e-5, maxiter=20000,
+                                      f64_refine=2)(KS, FS)
+    # the gradient projection deliberately stays f32 in refine mode (the
+    # scaled mass solve is well-conditioned — stepper.py), so band/axis
+    # retain f32 projection roundoff while the watcher traces are fully
+    # refined; still ~1000x closer than the plain f32 recording sweep
+    # (measured: watch 1.7e-4 / band 1.1e-2 / axis 1.4e-1 plain)
+    tols = {"watch": 1e-6, "band": 1e-4, "axis": 1e-3}
+    for key, tol in tols.items():
+        a = np.asarray(truth[key], np.float64)
+        b = np.asarray(refined[key], np.float64)
+        assert np.isfinite(b).all(), key
+        if a.size == 0:
+            continue
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() / scale < tol, key
+
+
 def test_sweep_refine_tiny_residual_scales():
     """Regression: on problems whose scaled residuals sit far below 1 (the
     supercoarse flagship used by the multichip dry run), the f32 inner
