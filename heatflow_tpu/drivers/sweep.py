@@ -190,11 +190,11 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             # default run2d applies, drivers/run2d.py). Applies to both
             # mesh kinds.
             rec_rtol = {"rtol": 1e-4}
-        if f64_refine and not rtol_kw:
+        if f64_refine and "rtol" not in rtol_kw:
             # refine's inner correction solves stop wrt the per-pass f64
             # residual; 1e-4 is the documented inner speed/accuracy point
             # (BENCHMARKS.md mixed-precision table)
-            rtol_kw = rec_rtol = {"rtol": 1e-4}
+            rtol_kw = rec_rtol = {**rtol_kw, "rtol": 1e-4}
         if isinstance(mesh_w, UnstructuredMesh):
             # imported / generated non-grid mesh → unstructured sweep kernel
             # (config-axis sharded over the device mesh exactly like the

@@ -45,6 +45,26 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, dtype=a.dtype)
 
 
+def refine_inner_scale(rn2, floor2, rtol, dtype):
+    """Shared guard for the f64-residual refinement passes (stepper,
+    unstructured, and batched-sweep variants): given the squared f64
+    residual norm(s) ``rn2`` and the degenerate-rhs floor ``floor2``,
+    return ``(rnorm, rtol_eff)`` for the f32 inner correction solve.
+
+    The inner rhs must be normalized to unit norm (divide by ``rnorm``,
+    rescale the update by it): residual scales far below 1 put the f32
+    stopping target rtol²·‖b‖² into underflow, where the inner CG grinds
+    on denormal noise to maxiter and then poisons — measured on the
+    coarse dryrun problem. CG is scale-invariant, so the rescale is
+    exact. A lane at/below the floor gets ``rtol_eff=2`` — it stops at
+    its first residual check (nothing left to correct at f64 roundoff
+    relative to the step's rhs)."""
+    degen = rn2 <= floor2
+    rnorm = jnp.sqrt(jnp.where(degen, 1.0, rn2))
+    rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
+    return rnorm, rtol_eff
+
+
 def pcg(apply_op: Callable[[jnp.ndarray], jnp.ndarray],
         b: jnp.ndarray,
         x0: jnp.ndarray,

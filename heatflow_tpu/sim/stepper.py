@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from heatflow_tpu.ops.cg import CGResult, pcg, pcg_fixed
+from heatflow_tpu.ops.cg import (CGResult, pcg, pcg_fixed,
+                                 refine_inner_scale)
 from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
 from heatflow_tpu.sim.problem import Problem2D
 
@@ -105,6 +106,11 @@ def make_simulate_fn(problem: Problem2D,
     calls with identical parameters return the same compiled callable
     instead of re-tracing (same convention as sweepkernel.make_sweep_fn).
     """
+    if f64_refine:
+        # the refined inner correction solves stop wrt their own rhs (the
+        # per-pass f64 residual — increment-relative by construction), so
+        # the outer rtol_wrt has no effect; normalize it out of the key
+        rtol_wrt = "b"
     cache_key = ("simulate_fn", jnp.dtype(dtype).name, rtol, maxiter,
                  fixed_iters, proj_rtol, proj_maxiter, record_gradient,
                  record_fields, precondition, rtol_wrt, solver,
@@ -328,23 +334,15 @@ def make_simulate_fn(problem: Problem2D,
             for _ in range(f64_refine):
                 r64 = bt - free * apply_A_s(y)
                 rn2 = jnp.sum(r64 * r64)
-                degen = rn2 <= floor2
-                # Normalize the correction rhs to unit norm for the f32
-                # solve: residual scales far below 1 put the f32 stopping
-                # target rtol²·‖b‖² into underflow (the CG then grinds on
-                # denormal noise to maxiter and poisons — measured in the
-                # batched sweep twin on a coarse problem). CG is
-                # scale-invariant: solve for r/‖r‖, rescale the update.
-                rnorm = jnp.sqrt(jnp.where(degen, 1.0, rn2))
+                # unit-norm rhs + degenerate stop (ops.cg.refine_inner_scale)
+                rnorm, rtol_eff = refine_inner_scale(rn2, floor2, rtol,
+                                                     dtype)
                 r32 = (r64 / rnorm).astype(dtype)
                 if use_vmem:
-                    # a degenerate correction rhs stops at the first check
-                    rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
                     dy, its = cg_vmem_tol(A32, sm32, r32, z32, rtol_eff,
                                           maxiter=maxiter, rtol_wrt="b",
                                           pcr=pcr_stack32)
                 else:
-                    rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
                     dsol = pcg(apply_A32_s, r32, z32, precond=pre32,
                                mask=free32, rtol=rtol_eff, maxiter=maxiter,
                                rtol_wrt="b")

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from heatflow_tpu.ops.cg import pcg_fixed, pcg_solve
+from heatflow_tpu.ops.cg import (pcg_fixed, pcg_solve,
+                                 refine_inner_scale)
 from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
 from heatflow_tpu.sim.problem import Problem2D
 
@@ -100,16 +101,10 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
             for _ in range(f64_refine):
                 R = Bv - sm * apply_Ab(dks, sm * Y)
                 rn2 = jnp.sum(R * R, axis=(1, 2))
-                degen = rn2 <= floor2
-                # Normalize each lane's correction rhs to unit norm for
-                # the f32 solve: residual scales can sit far below 1 (a
-                # warm-start-exact step), where the f32 stopping target
-                # rtol²·‖b‖² underflows to zero and the kernel grinds on
-                # denormal noise to maxiter, then poisons (measured on
-                # the coarse dryrun problem). CG is scale-invariant, so
-                # solving for R/‖R‖ and rescaling is exact.
-                rnorm = jnp.sqrt(jnp.where(degen, 1.0, rn2))
-                rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
+                # unit-norm rhs per lane + degenerate-lane stop (see
+                # ops.cg.refine_inner_scale for the underflow analysis)
+                rnorm, rtol_eff = refine_inner_scale(rn2, floor2, rtol,
+                                                     dtype)
                 dY, _its = cg_vmem_batched_tol(
                     A0_32, Kv_32, dks_32, sm_32,
                     (R / rnorm[:, None, None]).astype(dtype), Z0,
@@ -201,6 +196,11 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     BENCHMARKS.md). Mutating the problem in place after the first call does
     not invalidate the cache; build a new Problem2D instead.
     """
+    if f64_refine:
+        # the refined inner correction solves stop wrt their own rhs (the
+        # per-pass residual — increment-relative by construction), so the
+        # outer rtol_wrt has no effect; normalize it out of the cache key
+        rtol_wrt = "b"
     cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
                  maxiter, fixed_iters, precondition,
                  int(problem.num_steps if num_steps is None else num_steps),
@@ -265,8 +265,10 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     extrapolate = warm_start == "extrapolate"
 
     def one_config(ops, sample_k, fwhm, u0=None, step0=0, u_pp=None):
+        # wdt (not dtype): under f64_refine the ops/state are f64 — this
+        # single-config fallback then runs the plain f64-operator solve
         free, dirich = ops["free"], ops["dirich"]
-        dk = (jnp.asarray(sample_k, dtype) - base_k) * dt
+        dk = (jnp.asarray(sample_k, wdt) - base_k) * dt
         apply_A = lambda v: (apply_stencil(ops["A0"], v)
                              + dk * apply_stencil(ops["K_var"], v))
         diag = ops["A0"][0] + dk * ops["K_var"][0]
@@ -284,7 +286,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             pre = lambda r: inv_s * vcycle(inv_s * r)
 
         amp_offset = ops["heat_T"][0] - ic
-        coeff = jnp.asarray(-4.0 * np.log(2.0), dtype) / (fwhm * fwhm)
+        coeff = jnp.asarray(-4.0 * np.log(2.0), wdt) / (fwhm * fwhm)
         profile = jnp.exp(coeff * ops["r_sq"]) * ops["base"]
         # affine-in-amplitude lift: A g precomputed once (see vmem_sweep_scan)
         g0 = ic * (dirich - profile)
@@ -309,12 +311,12 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             u = x * s * free + g
             return (u, u_prev), u.reshape(-1)[ops["watch"]]
 
-        u0 = jnp.full((nz, nr), ic, dtype) if u0 is None \
-            else jnp.asarray(u0, dtype)
-        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, dtype)
+        u0 = jnp.full((nz, nr), ic, wdt) if u0 is None \
+            else jnp.asarray(u0, wdt)
+        u_pp = u0 if u_pp is None else jnp.asarray(u_pp, wdt)
         # single-rounding times (see vmem_sweep_scan)
-        ts = (jnp.arange(1, num_steps + 1, dtype=dtype)
-              + jnp.asarray(step0, dtype)) * dt
+        ts = (jnp.arange(1, num_steps + 1, dtype=wdt)
+              + jnp.asarray(step0, wdt)) * dt
         (u_fin, u_pen), traces = jax.lax.scan(step, (u0, u_pp), ts)
         return traces, u_fin, u_pen
 
@@ -610,8 +612,9 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
         sample_k = pad_to_multiple(sample_k, nc)
         fwhm = pad_to_multiple(fwhm, nc)
     nz, nr = fn.shape
-    carry_dt = jnp.float64 if f64_refine else dtype
-    u = jnp.full((len(sample_k), nz, nr), fn.ic_temp, carry_dt)
+    # segment() casts its field inputs to the maker's working dtype (f64
+    # under refine), so plain-dtype init buffers are correct here
+    u = jnp.full((len(sample_k), nz, nr), fn.ic_temp, dtype)
     u_pp = u
     pieces = []
     done = 0

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from heatflow_tpu.mesh.msh_io import UnstructuredMesh
-from heatflow_tpu.ops.cg import pcg
+from heatflow_tpu.ops.cg import pcg, refine_inner_scale
 from heatflow_tpu.ops.ell import (EllOps, assemble_ell, ell_apply,
                                   ell_combine, ell_diag)
 from heatflow_tpu.sim.bc import HeatingCurve, node_row_mask
@@ -169,6 +169,10 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     identical arguments return the same compiled callable — re-tracing a
     fresh jit per call costs far more than the run itself on small chunks.
     """
+    if f64_refine:
+        # refined inner solves stop wrt their own per-pass residual; the
+        # outer rtol_wrt has no effect — normalize it out of the cache key
+        rtol_wrt = "b"
     cache_key = ("sim_fn", jnp.dtype(dtype).name, rtol, maxiter, fixed_iters,
                  proj_rtol, proj_maxiter, record_gradient, record_fields,
                  rtol_wrt, differentiable, solver, warm_start, precondition,
@@ -336,10 +340,8 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
 
         def _solve_refined(bt, y0):
             """f64-residual / f32-correction refinement (see
-            stepper._solve_refined; same degenerate-rhs stop floor and
-            unit-norm rhs scaling — residual scales far below 1 put the
-            f32 stopping target rtol²·‖b‖² into underflow, where the
-            inner CG grinds to maxiter on denormal noise and poisons)."""
+            stepper._solve_refined; shared unit-norm rhs scaling and
+            degenerate-rhs stop — ops.cg.refine_inner_scale)."""
             from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
             floor2 = jnp.asarray(1e-30, cdt) * jnp.sum(bt * bt)
             y = y0
@@ -347,10 +349,9 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
             for _ in range(f64_refine):
                 r64 = bt - free * apply_s(y)
                 rn2 = jnp.sum(r64 * r64)
-                degen = rn2 <= floor2
-                rnorm = jnp.sqrt(jnp.where(degen, 1.0, rn2))
+                rnorm, rtol_eff = refine_inner_scale(rn2, floor2, rtol,
+                                                     dtype)
                 r32 = (r64 / rnorm).astype(dtype)
-                rtol_eff = jnp.where(degen, 2.0, rtol).astype(dtype)
                 if use_vmem:
                     dy2, its = cg_vmem_tol(
                         A9_32, (s32 * free32).reshape(oshape),
@@ -654,6 +655,10 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     ``rtol_wrt``, ``precondition`` ('jacobi'/'rline', vmem) and
     ``f64_refine`` (vmem, f32+x64: mixed-precision f64-residual refinement
     per lane) mirror the structured ``make_sweep_fn``."""
+    if f64_refine:
+        # refined inner solves stop wrt their own per-pass residual; the
+        # outer rtol_wrt has no effect — normalize it out of the cache key
+        rtol_wrt = "b"
     cache_key = ("sweep_fn", vary_material, jnp.dtype(dtype).name, rtol,
                  maxiter, fixed_iters, warm_start, solver, record_gradient,
                  num_steps, mesh, rtol_wrt, precondition, f64_refine)
@@ -692,19 +697,24 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     if num_steps is not None:
         raise ValueError("segmented (num_steps=...) unstructured sweeps "
                          "run through solver='vmem' (overlay meshes)")
-    if f64_refine:
+    if f64_refine and not record_gradient:
         raise ValueError("f64_refine sweeps run through solver='vmem' "
-                         "(the batched VMEM correction kernel)")
+                         "(the batched VMEM correction kernel); the XLA "
+                         "path refines only with record_gradient (the "
+                         "vmapped full stepper)")
 
     fn = make_simulate_fn_unstructured(
         problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
         differentiable=fixed_iters is None and not record_gradient,
-        warm_start=warm_start, rtol_wrt=rtol_wrt)
-    base_k = jnp.asarray(problem.kappas, dtype)
-    rc = jnp.asarray(problem.rho_cvs, dtype)
+        warm_start=warm_start, rtol_wrt=rtol_wrt,
+        precondition=precondition, f64_refine=f64_refine)
+    # refine carries fields/coefficients in f64 (the stepper's cdt)
+    wdt = jnp.float64 if f64_refine else dtype
+    base_k = jnp.asarray(problem.kappas, wdt)
+    rc = jnp.asarray(problem.rho_cvs, wdt)
     n = len(problem.mesh.nodes)
-    ic = jnp.asarray(problem.ic_temp, dtype)
+    ic = jnp.asarray(problem.ic_temp, wdt)
 
     # dev enters as an argument (not a closure constant — see stepper note)
     def one(dev, k, f, u0, t0):
@@ -732,10 +742,10 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
 
     def simulate_batch(sample_k, fwhm):
         B = len(np.asarray(sample_k))
-        u0 = jnp.full((B, n), ic, dtype)
-        out = batched(fn.dev, jnp.asarray(sample_k, dtype),
-                      jnp.asarray(fwhm, dtype), u0,
-                      jnp.asarray(0.0, dtype))
+        u0 = jnp.full((B, n), ic, wdt)
+        out = batched(fn.dev, jnp.asarray(sample_k, wdt),
+                      jnp.asarray(fwhm, wdt), u0,
+                      jnp.asarray(0.0, wdt))
         if record_gradient:
             out["times"] = np.asarray(out["times"][0])
             return out

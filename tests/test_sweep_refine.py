@@ -159,6 +159,45 @@ def test_recording_sweep_refine(sweep_problem):
         assert np.abs(a - b).max() / scale < tol, key
 
 
+def test_sweep_refine_one_config_fallback(sweep_problem):
+    """The maker's .one_config attribute stays usable on a refined sweep fn
+    (regression: it seeded the scan carry at f32 against f64 ops)."""
+    problem, truth = sweep_problem
+    fn = make_sweep_fn(problem, dtype=jnp.float32, solver="vmem",
+                       rtol=1e-5, maxiter=20000, f64_refine=2)
+    tr = np.asarray(fn.one_config(KS[0], FS[0]))
+    assert np.isfinite(tr).all()
+    # single-config fallback runs the plain f64-operator solve to the
+    # sweep rtol (wrt ||b||, so looser than the refined lanes)
+    assert np.abs(tr - truth[0]).max() < 0.5
+
+
+def test_unstructured_recording_sweep_refine():
+    """record_gradient + f64_refine on an unstructured mesh runs the
+    vmapped refined full stepper (regression: every solver choice raised
+    with contradictory errors)."""
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["timing"]["num_steps"] = 3
+    domain, mats = build_layout(cfg)
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=3)
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                          temp=df["temp"].to_numpy())
+    problem = build_problem_unstructured(
+        umesh, heating, cfg, watcher_points=coupler_watcher_points(cfg))
+    truth = make_sweep_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-12,
+        record_gradient=True)(KS[:2], FS[:2])
+    refined = make_sweep_fn_unstructured(
+        problem, dtype=jnp.float32, rtol=1e-5, maxiter=20000,
+        record_gradient=True, f64_refine=2)(KS[:2], FS[:2])
+    a = np.asarray(truth["watch"], np.float64)
+    b = np.asarray(refined["watch"], np.float64)
+    assert np.abs(a - b).max() < 1e-4
+    for key in ("band", "axis"):
+        assert np.isfinite(np.asarray(refined[key])).all(), key
+
+
 def test_sweep_refine_tiny_residual_scales():
     """Regression: on problems whose scaled residuals sit far below 1 (the
     supercoarse flagship used by the multichip dry run), the f32 inner
