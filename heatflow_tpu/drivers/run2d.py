@@ -405,6 +405,12 @@ def main(argv=None):
                    help="shard the field's z axis over this many devices "
                         "(single-problem spatial sharding; XLA solver path; "
                         "Nz must divide evenly)")
+    p.add_argument("--rtol", type=float, default=None,
+                   help="CG stopping tolerance (increment-relative, "
+                        "rtol_wrt='r0'; with --f64-refine: the inner "
+                        "correction solves' tolerance). Default: 1e-11 at "
+                        "f64, 1e-4 at f32 — the documented speed/accuracy "
+                        "points (BENCHMARKS.md)")
     args = p.parse_args(argv)
     if args.f64_refine:
         # the refinement's f64 outer residual needs x64 (validated in
@@ -425,7 +431,7 @@ def main(argv=None):
                    resume_from=args.resume, mesh_style=args.mesh_style,
                    warm_start=args.warm_start,
                    precondition=args.precondition, z_shards=args.z_shards,
-                   f64_refine=args.f64_refine)
+                   f64_refine=args.f64_refine, rtol=args.rtol)
 
 
 if __name__ == "__main__":
