@@ -101,3 +101,25 @@ def test_cli_main(tmp_path):
                 "--output-folder", str(tmp_path / "o"),
                 "--watcher-points", "auto"])
     assert os.path.isfile(tmp_path / "o" / "watcher_points.csv")
+
+
+def test_cli_main_refine_rtol(tmp_path):
+    """--f64-refine N --rtol R --warm-start extrapolate (the official
+    recipe's CLI spelling) parses and produces finite artifacts."""
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    run2d_main(["--config", str(cfg_path),
+                "--mesh-folder", str(tmp_path / "m"),
+                "--rebuild-mesh", "--suppress-print",
+                "--output-folder", str(tmp_path / "o"),
+                "--watcher-points", "auto",
+                "--f64-refine", "1", "--rtol", "1e-5",
+                "--warm-start", "extrapolate"])
+    w = pd.read_csv(tmp_path / "o" / "watcher_points.csv")
+    assert np.isfinite(w.to_numpy()).all()

@@ -241,3 +241,33 @@ def test_batched_tol_per_config_rtol():
     assert it[0] > 0
     assert it[1] == 0
     assert np.allclose(np.asarray(x[1]), 0.0)
+
+
+def test_sweep_cli_refine_flag(tmp_path):
+    """The sweep CLI's --f64-refine spelling parses, enables x64, applies
+    the documented inner-rtol default, and writes the artifact set."""
+    import yaml
+    from heatflow_tpu.drivers.sweep import main as sweep_main
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    sweep_main(["--config", str(cfg_path),
+                "--output-dir", str(tmp_path / "out"),
+                "--mesh-folder", str(tmp_path / "m"),
+                "--fwhm-range", "4e-6", "9e-6",
+                "--k-range", "2.0", "7.5",
+                "--width-range", "1.84e-6", "1.84e-6",
+                "--num-points", "2", "1", "1",
+                "--solver", "vmem", "--f64-refine", "1",
+                "--warm-start", "extrapolate"])
+    import json
+    import pandas as pd
+    meta = json.load(open(tmp_path / "out" / "sweep_metadata.json"))
+    assert meta["f64_refine"] == 1
+    succ = pd.read_csv(tmp_path / "out" / "successful_runs.csv")
+    assert len(succ) == 2 and (succ["status"] == "success").all()
