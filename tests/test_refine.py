@@ -137,3 +137,22 @@ def tiny_unstructured():
     truth = make_simulate_fn_unstructured(
         problem, dtype=jnp.float64, rtol=1e-13, record_gradient=False)()
     return problem, truth
+
+
+def test_refine_inner_scale_guard():
+    """The shared inner-scale guard (ops.cg.refine_inner_scale): unit-norm
+    scaling for live lanes, rtol_eff=2 for degenerate ones — scalar and
+    batched shapes."""
+    import jax.numpy as jnp
+    from heatflow_tpu.ops.cg import refine_inner_scale
+    # scalar (single-problem steppers)
+    rnorm, rtol_eff = refine_inner_scale(jnp.asarray(4.0, jnp.float64),
+                                         jnp.asarray(1e-30, jnp.float64),
+                                         1e-4, jnp.float32)
+    assert float(rnorm) == 2.0 and float(rtol_eff) == pytest.approx(1e-4)
+    # batched (sweep scan): one live lane, one at the degenerate floor
+    rn2 = jnp.asarray([9.0, 1e-40])
+    fl2 = jnp.asarray([1e-30, 1e-30])
+    rnorm, rtol_eff = refine_inner_scale(rn2, fl2, 1e-4, jnp.float32)
+    assert np.allclose(np.asarray(rnorm), [3.0, 1.0])
+    assert np.allclose(np.asarray(rtol_eff), [1e-4, 2.0])
