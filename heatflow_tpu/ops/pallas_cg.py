@@ -372,12 +372,14 @@ def cg_vmem(C: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
 
 
 def fits_in_vmem_batched(nz: int, nr: int, dtype=jnp.float32,
-                         n_points: int = 7) -> bool:
+                         n_points: int = 7, rline: bool = False) -> bool:
     """Working set of the batched sweep kernel: shared A0+K_var
     (2·n_points planes), the per-config combined operator (n_points), and
-    ~6 solution-sized vectors."""
+    ~6 solution-sized vectors; ``rline`` adds the in-kernel PCR scratch
+    (3·ceil(log2(Nr)) planes — _rline_factor_into)."""
     bytes_per = jnp.dtype(dtype).itemsize
-    return (3 * n_points + 6) * nz * nr * bytes_per < VMEM_BUDGET
+    extra = 3 * rline_levels(nr) if rline else 0
+    return (3 * n_points + 6 + extra) * nz * nr * bytes_per < VMEM_BUDGET
 
 
 def _sweep_cg_kernel(dk_ref, A0_ref, Kv_ref, sm_ref, b_ref, x0_ref, x_ref,

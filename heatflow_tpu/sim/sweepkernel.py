@@ -344,7 +344,8 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                              "r-line PCR)")
         if jax.default_backend() == "tpu":
             from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
-            if not fits_in_vmem_batched(nz, nr, dtype):
+            if not fits_in_vmem_batched(nz, nr, dtype,
+                                        rline=precondition == "rline"):
                 raise ValueError(
                     f"sweep working set for a {nz}x{nr} grid exceeds the "
                     "VMEM budget; use solver='xla'")

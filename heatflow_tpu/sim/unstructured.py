@@ -513,7 +513,8 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
         if dtype != jnp.float32:
             raise ValueError("the VMEM kernel is f32-only on TPU")
         from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
-        if not fits_in_vmem_batched(nz, nr, dtype, n_points=9):
+        if not fits_in_vmem_batched(nz, nr, dtype, n_points=9,
+                                    rline=precondition == "rline"):
             raise ValueError(
                 f"sweep working set for the {nz}x{nr} overlay exceeds the "
                 "VMEM budget; use solver='xla'")
