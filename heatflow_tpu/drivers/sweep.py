@@ -92,7 +92,8 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     if f64_refine:
         if solver != "vmem" and not record_gradient:
             raise ValueError("f64_refine sweeps run through solver='vmem' "
-                             "(or the --record-gradient full stepper)")
+                             "(or --record-gradient, whose XLA and vmem "
+                             "engines both refine)")
         if jnp.dtype(dtype) != jnp.float32:
             # refine is the mixed mode AROUND f32; CPU test runs default to
             # f64 where plain rtol already reaches any accuracy
@@ -213,17 +214,16 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
             if record_gradient:
-                # full-stepper vmapped sweep: every run also gets the
+                # full-surface vmapped sweep: every run also gets the
                 # reference's per-run gradient CSVs (ref run_no_diamond.py
-                # :602-617 under parameter_sweep.py:157-166)
-                if solver == "vmem":
-                    raise ValueError("record_gradient sweeps run the full "
-                                     "stepper; use solver='xla'")
+                # :602-617 under parameter_sweep.py:157-166); solver='vmem'
+                # runs solve AND projection through the batched Pallas
+                # engine (sweepkernel._recording_vmem)
                 from heatflow_tpu.sim.sweepkernel import \
                     make_sweep_fn_recording
                 sweep_fn = make_sweep_fn_recording(
                     problem, dtype=dtype, fixed_iters=fixed_iters,
-                    warm_start=warm_start, mesh=mesh,
+                    warm_start=warm_start, mesh=mesh, solver=solver,
                     f64_refine=f64_refine, **rec_rtol)
             else:
                 sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,

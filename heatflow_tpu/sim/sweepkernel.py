@@ -30,7 +30,8 @@ from heatflow_tpu.sim.problem import Problem2D
 def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                     num_steps, base_k, fixed_iters, rtol, maxiter,
                     extrapolate, rline=False, rtol_wrt="b",
-                    f64_refine=0):
+                    f64_refine=0, record=None, proj_rtol=1e-11,
+                    proj_maxiter=400):
     """Whole-batch backward-Euler scan with the per-config Pallas VMEM
     solvers (shared by the structured sweep engine and the grid-overlay
     unstructured one). ``ops`` needs stencils A0/K_var/M_op (7- or 9-point,
@@ -47,7 +48,18 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     f64 arrays; each step runs N passes of f64-operator residual (one
     batched emulated-f64 stencil apply) around the f32 batched VMEM
     correction solve, carrying the fields in f64. Breaks the f32
-    operator-representation floor per sweep lane."""
+    operator-representation floor per sweep lane.
+
+    ``record``: artifact-parity recording at VMEM speed — a dict with the
+    lattice projection stencils ``Mp``/``Gr``, scaling plane ``s_mp``,
+    and flat ``band_nodes``/``band_bins``/``bin_counts`` (stopping set by
+    the static ``proj_rtol``/``proj_maxiter``). Each step then also
+    solves the scaled
+    r-weighted mass projection for every lane THROUGH THE SAME batched
+    VMEM kernel (warm-started from the previous step's gradient) and the
+    scan returns a dict {watch, band, axis} instead of bare traces, plus
+    the gradient field threaded as a third carry/return component
+    (ref run_no_diamond.py:544-566's per-step projection, vmapped)."""
     from heatflow_tpu.ops.pallas_cg import (cg_vmem_batched,
                                             cg_vmem_batched_tol)
     interpret = jax.default_backend() != "tpu"
@@ -82,8 +94,24 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
         dks_32 = dks.astype(dtype)
         sm_32 = sm.astype(dtype)
 
+    B = len(jnp.asarray(ks))
+    if record is not None:
+        # projection runs at the kernel dtype (f32 under refine — the
+        # scaled mass solve is well-conditioned, stepper.py rationale)
+        Mp = record["Mp"].astype(dtype)
+        Gr = record["Gr"].astype(dtype)
+        s_mp = record["s_mp"].astype(dtype)
+        Kz = jnp.zeros_like(Mp)          # the mass solve has no dk term
+        dks_z = jnp.zeros((B,), dtype)
+        smp_b = jnp.broadcast_to(s_mp[None], (B,) + s_mp.shape)
+        apply_Grb = jax.vmap(lambda v: apply_stencil(Gr, v))
+        n_bins = len(record["bin_counts"])
+
     def step(carry, t):
-        U, U_pp = carry
+        if record is not None:
+            U, U_pp, GR = carry
+        else:
+            U, U_pp = carry
         amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
         G = g0 + amp * g1
         Bv = (apply_Mb(U) - (Ag0 + amp * Ag1)) * sm
@@ -121,7 +149,25 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                 maxiter=maxiter, interpret=interpret, rline=rline,
                 rtol_wrt=rtol_wrt)
         Un = X * sm + G
-        return (Un, U), Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
+        watch = Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
+        if record is None:
+            return (Un, U), watch
+        # per-step r-weighted L2 gradient projection, every lane through
+        # the batched VMEM kernel (warm-started from the previous step)
+        br = s_mp[None] * apply_Grb(Un.astype(dtype))
+        Y0p = GR / s_mp[None]
+        Xp, _pits = cg_vmem_batched_tol(
+            Mp, Kz, dks_z, smp_b, br, Y0p, proj_rtol,
+            maxiter=proj_maxiter, interpret=interpret, rtol_wrt="b")
+        gr = Xp * s_mp[None]
+        vals = gr.reshape(gr.shape[0], -1)[:, record["band_nodes"]]
+        sums = jax.vmap(
+            lambda v: jax.ops.segment_sum(v, record["band_bins"],
+                                          num_segments=n_bins))(vals)
+        outs = {"watch": watch,
+                "band": sums / record["bin_counts"],
+                "axis": gr[:, :, 0]}
+        return (Un, U, gr), outs
 
     # times formed as (step0 + i)·dt in ONE rounding so a chunked run's
     # absolute times are bitwise those of the unchunked scan (adding
@@ -130,6 +176,12 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     ts = (jnp.arange(1, num_steps + 1, dtype=cdt)
           + jnp.asarray(step0, cdt)) * dt
     u00 = jnp.asarray(u0, cdt)
+    if record is not None:
+        gr0 = jnp.zeros((B,) + s_mp.shape, dtype)
+        (u_fin, u_pen, gr_fin), outs = jax.lax.scan(
+            step, (u00, jnp.asarray(u_pp, cdt), gr0), ts)
+        outs = {k: jnp.swapaxes(v, 0, 1) for k, v in outs.items()}
+        return outs, u_fin, u_pen
     (u_fin, u_pen), traces = jax.lax.scan(
         step, (u00, jnp.asarray(u_pp, cdt)), ts)
     return jnp.swapaxes(traces, 0, 1), u_fin, u_pen
@@ -463,13 +515,128 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     return simulate_batch
 
 
+def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
+                    maxiter, fixed_iters, warm_start, mesh, rtol_wrt,
+                    f64_refine, precondition, proj_rtol, proj_maxiter):
+    """Recording (artifact-parity) sweeps through the batched VMEM engine:
+    both the backward-Euler solve AND the per-step r-weighted gradient
+    projection run as per-config Pallas VMEM solves inside one scan
+    (vmem_sweep_scan(record=...)) — the XLA recording path re-streams the
+    operator from HBM every CG iteration and is ~4-6x slower at the same
+    artifacts."""
+    if f64_refine:
+        if jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("f64_refine is the mixed-precision mode: "
+                             "dtype must be float32")
+        if not jax.config.jax_enable_x64:
+            raise ValueError("f64_refine needs jax_enable_x64=True")
+        if fixed_iters is not None:
+            raise ValueError("f64_refine composes with the tolerance-based "
+                             "solve (drop fixed_iters)")
+    if precondition not in ("jacobi", "rline"):
+        raise ValueError("solver='vmem' supports precondition='jacobi' "
+                         "or 'rline'")
+    if precondition == "rline" and fixed_iters is not None:
+        raise ValueError("rline-preconditioned vmem sweeps are "
+                         "tolerance-based (drop fixed_iters)")
+    if mesh is not None and ("z" in mesh.axis_names
+                             and mesh.shape["z"] > 1):
+        raise ValueError("solver='vmem' shards the config axis only; use "
+                         "z_shards=1")
+    nz, nr = problem.mesh.shape
+    if jax.default_backend() == "tpu":
+        if jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("the VMEM kernel is f32-only on TPU")
+        from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
+        if not fits_in_vmem_batched(nz, nr, dtype,
+                                    rline=precondition == "rline"):
+            raise ValueError(
+                f"sweep working set for a {nz}x{nr} grid exceeds the "
+                "VMEM budget; use solver='xla'")
+
+    wdt = jnp.float64 if f64_refine else dtype
+    dev = problem.device_arrays(wdt)
+    num_steps = int(problem.num_steps)
+    dt = jnp.asarray(problem.dt, wdt)
+    ic = jnp.asarray(problem.ic_temp, wdt)
+    if "watch_flat" not in dev:
+        raise ValueError("sweeps need watcher points on the problem")
+    m_idx = list(problem.mesh.material_tags).index(vary_material)
+    base_k = float(problem.kappas[m_idx])
+    A0, M_op = combine_operator(dev["K"], dev["M"], dev["kappas"],
+                                dev["rho_cvs"], dt)
+    ops = {"A0": A0, "M_op": M_op, "K_var": dev["K"][m_idx],
+           "free": dev["free"], "dirich": dev["dirichlet"],
+           "base": dev["heat_profile_base"], "r_sq": dev["r_sq"],
+           "heat_t": dev["heat_t"], "heat_T": dev["heat_T"],
+           "watch": dev["watch_flat"]}
+    s_mp = jax.lax.rsqrt(jnp.where(dev["M_proj"][0] > 0,
+                                   dev["M_proj"][0], 1.0))
+    record = {"Mp": dev["M_proj"], "Gr": dev["G_r"], "s_mp": s_mp,
+              "band_nodes": dev["band_nodes"],
+              "band_bins": dev["band_bins"],
+              "bin_counts": dev["bin_counts"].astype(dtype)}
+    extrapolate = warm_start == "extrapolate"
+
+    def core(ops, rec, ks, fs, u0, u_pp):
+        return vmem_sweep_scan(
+            ops, ks, fs, u0, u_pp, jnp.asarray(0, wdt), dtype=dtype,
+            ic=ic, dt=dt, num_steps=num_steps, base_k=base_k,
+            fixed_iters=fixed_iters, rtol=rtol, maxiter=maxiter,
+            extrapolate=extrapolate, rline=precondition == "rline",
+            rtol_wrt=rtol_wrt, f64_refine=f64_refine, record=rec,
+            proj_rtol=proj_rtol, proj_maxiter=proj_maxiter)[0]
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = jax.tree.map(lambda _: P(), ops)
+        rep_rec = jax.tree.map(lambda _: P(), record)
+        core = shard_map(core, mesh=mesh,
+                         in_specs=(rep, rep_rec, P("config"), P("config"),
+                                   P("config"), P("config")),
+                         out_specs={k: P("config")
+                                    for k in ("watch", "band", "axis")},
+                         check_vma=False)
+        from jax.sharding import NamedSharding
+        ops_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), ops)
+        rec_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), record)
+        cfg_sh = NamedSharding(mesh, P("config"))
+        fld_sh = NamedSharding(mesh, P("config", None, None))
+        batched = jax.jit(core, in_shardings=(ops_sh, rec_sh, cfg_sh,
+                                              cfg_sh, fld_sh, fld_sh),
+                          out_shardings={k: cfg_sh
+                                         for k in ("watch", "band",
+                                                   "axis")})
+    else:
+        batched = jax.jit(core)
+
+    def simulate_batch(sample_k, fwhm):
+        B = len(np.asarray(sample_k))
+        u0 = jnp.full((B, nz, nr), ic, wdt)
+        ys = dict(batched(ops, record, jnp.asarray(sample_k, wdt),
+                          jnp.asarray(fwhm, wdt), u0, u0))
+        ys["times"] = np.arange(1, num_steps + 1) * problem.dt
+        return ys
+
+    simulate_batch.times = (np.arange(1, num_steps + 1) * problem.dt)
+    simulate_batch.band_centers = problem.radial.bin_centers
+    simulate_batch.axis_z = problem.radial.axis_z
+    simulate_batch.watcher_names = list(problem.watcher_names)
+    return simulate_batch
+
+
 def make_sweep_fn_recording(problem: Problem2D, *,
                             vary_material: str = "p_sample",
                             dtype=jnp.float32, rtol: float = 1e-6,
                             maxiter: int = 4000,
                             fixed_iters: int | None = None,
                             warm_start: str = "previous", mesh=None,
-                            rtol_wrt: str = "b", f64_refine: int = 0):
+                            rtol_wrt: str = "b", f64_refine: int = 0,
+                            solver: str = "xla",
+                            precondition: str = "jacobi",
+                            proj_rtol: float = 1e-11,
+                            proj_maxiter: int = 400):
     """Full-surface sweep: the COMPLETE stepper (watcher + radial-gradient
     accumulation, per-step r-weighted L2 projection) vmapped over configs —
     the artifact-parity mode matching the reference, where every sweep run
@@ -497,15 +664,28 @@ def make_sweep_fn_recording(problem: Problem2D, *,
     and lowering-level regression tests pin the no-dot_general property
     (tests/test_round3_fixes.py)."""
     from heatflow_tpu.sim.stepper import make_simulate_fn
+    if f64_refine:
+        rtol_wrt = "b"   # no effect on refined inner solves (see above)
     cache_key = ("sweep_fn_rec", vary_material, jnp.dtype(dtype).name, rtol,
                  maxiter, fixed_iters, warm_start, mesh, rtol_wrt,
-                 f64_refine)
+                 f64_refine, solver, precondition, proj_rtol, proj_maxiter)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
     if problem.radial is None:
         raise ValueError("gradient-recording sweeps need radial sampling "
                          "on the problem")
+    if solver == "vmem":
+        simulate_batch = _recording_vmem(
+            problem, vary_material=vary_material, dtype=dtype, rtol=rtol,
+            maxiter=maxiter, fixed_iters=fixed_iters, warm_start=warm_start,
+            mesh=mesh, rtol_wrt=rtol_wrt, f64_refine=f64_refine,
+            precondition=precondition, proj_rtol=proj_rtol,
+            proj_maxiter=proj_maxiter)
+        cache[cache_key] = simulate_batch
+        return simulate_batch
+    if solver != "xla":
+        raise ValueError(f"unknown solver {solver!r}")
     # rtol_wrt defaults to 'b' to match the plain sweep path's stopping
     # rule, so toggling record_gradient does not change watcher traces at
     # a given rtol; 'r0' selects the increment-relative accuracy regime.

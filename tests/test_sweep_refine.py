@@ -271,3 +271,49 @@ def test_sweep_cli_refine_flag(tmp_path):
     assert meta["f64_refine"] == 1
     succ = pd.read_csv(tmp_path / "out" / "successful_runs.csv")
     assert len(succ) == 2 and (succ["status"] == "success").all()
+
+
+def test_recording_sweep_vmem_engine(sweep_problem):
+    """The VMEM recording engine (make_sweep_fn_recording(solver='vmem'):
+    temperature solve AND gradient projection as batched Pallas VMEM
+    solves) reproduces the XLA recording path's full artifact set."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn_recording
+    problem, _ = sweep_problem
+    ref = make_sweep_fn_recording(problem, dtype=jnp.float64,
+                                  rtol=1e-12)(KS, FS)
+    got = make_sweep_fn_recording(problem, dtype=jnp.float64,
+                                  rtol=1e-12, solver="vmem")(KS, FS)
+    # the two engines stop the projection at different granularities (the
+    # kernel checks every CHECK_EVERY iterations) — equality is
+    # proj-tolerance-limited, not bitwise
+    tols = {"watch": 1e-9, "band": 1e-7, "axis": 1e-7}
+    for key, tol in tols.items():
+        a = np.asarray(ref[key], np.float64)
+        b = np.asarray(got[key], np.float64)
+        assert a.shape == b.shape, key
+        if a.size == 0:
+            continue
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() / scale < tol, key
+
+
+def test_recording_sweep_vmem_refine(sweep_problem):
+    """f64_refine composes with the VMEM recording engine: refined lanes +
+    per-step VMEM gradient projection reproduce the f64 artifacts."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn_recording
+    problem, _ = sweep_problem
+    ref = make_sweep_fn_recording(problem, dtype=jnp.float64,
+                                  rtol=1e-12)(KS, FS)
+    got = make_sweep_fn_recording(problem, dtype=jnp.float32,
+                                  rtol=1e-5, maxiter=20000, solver="vmem",
+                                  f64_refine=2,
+                                  warm_start="extrapolate")(KS, FS)
+    tols = {"watch": 1e-6, "band": 1e-4, "axis": 1e-3}
+    for key, tol in tols.items():
+        a = np.asarray(ref[key], np.float64)
+        b = np.asarray(got[key], np.float64)
+        assert np.isfinite(b).all(), key
+        if a.size == 0:
+            continue
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() / scale < tol, key
