@@ -166,7 +166,8 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                                           num_segments=n_bins))(vals)
         outs = {"watch": watch,
                 "band": sums / record["bin_counts"],
-                "axis": gr[:, :, 0]}
+                "axis": gr.reshape(gr.shape[0], -1)[:,
+                                                    record["axis_nodes"]]}
         return (Un, U, gr), outs
 
     # times formed as (step0 + i)·dt in ONE rounding so a chunked run's
@@ -575,7 +576,9 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
     record = {"Mp": dev["M_proj"], "Gr": dev["G_r"], "s_mp": s_mp,
               "band_nodes": dev["band_nodes"],
               "band_bins": dev["band_bins"],
-              "bin_counts": dev["bin_counts"].astype(dtype)}
+              "bin_counts": dev["bin_counts"].astype(dtype),
+              # structured axis rows are lattice column r=0
+              "axis_nodes": jnp.arange(nz) * nr}
     extrapolate = warm_start == "extrapolate"
 
     def core(ops, rec, ks, fs, u0, u_pp):

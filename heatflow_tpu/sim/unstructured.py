@@ -489,7 +489,9 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
 def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
                              dtype, rtol, maxiter, fixed_iters, warm_start,
                              num_steps=None, mesh=None, rtol_wrt="b",
-                             precondition="jacobi", f64_refine=0):
+                             precondition="jacobi", f64_refine=0,
+                             record_gradient=False, proj_rtol=1e-11,
+                             proj_maxiter=400):
     """VMEM-kernel sweep path for grid-overlay meshes: prepare the lattice
     ops dict and delegate to the shared ``sweepkernel.vmem_sweep_scan``.
 
@@ -498,7 +500,13 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
     structured ``make_sweep_fn(mesh=...)``). ``num_steps`` overrides the
     problem's step count (time-chunked execution). ``rtol_wrt``,
     ``precondition`` ('jacobi'/'rline') and ``f64_refine`` mirror the
-    structured maker (shared scan — see vmem_sweep_scan)."""
+    structured maker (shared scan — see vmem_sweep_scan).
+
+    ``record_gradient``: artifact-parity recording — the per-step
+    r-weighted gradient projection also runs through the batched VMEM
+    kernel on the overlay lattice (vmem_sweep_scan record=...); the built
+    function then returns the {watch, band, axis} dict instead of bare
+    traces (no segment API in this mode)."""
     from heatflow_tpu.ops.overlay import node_to_lattice
     from heatflow_tpu.ops.stencil import combine_operator
     from heatflow_tpu.sim.sweepkernel import vmem_sweep_scan
@@ -550,32 +558,56 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
     num_steps = int(problem.num_steps if num_steps is None else num_steps)
     extrapolate = warm_start == "extrapolate"
 
-    def core(ops, ks, fs, u0, u_pp, step0):
+    rec = None
+    if record_gradient:
+        if problem.band_nodes is None:
+            raise ValueError("gradient-recording sweeps need radial "
+                             "sampling on the problem")
+        # per-step projection through the batched VMEM kernel on the
+        # SAME lattice (the overlay embedding is a node permutation, so
+        # the lattice-form Mp/G computations equal the ELL ones)
+        Mp = jnp.asarray(stn["Mp"], wdt)
+        s_mp_lat = jax.lax.rsqrt(jnp.where(Mp[0] > 0, Mp[0], 1.0))
+        rec = {"Mp": Mp, "Gr": jnp.asarray(stn["G"], wdt),
+               "s_mp": s_mp_lat,
+               "band_nodes": jnp.asarray(
+                   idx_np[np.asarray(problem.band_nodes)]),
+               "band_bins": jnp.asarray(problem.band_bins),
+               "bin_counts": jnp.asarray(problem.bin_counts, dtype),
+               "axis_nodes": jnp.asarray(
+                   idx_np[np.asarray(problem.axis_nodes)])}
+
+    def core(ops, rec, ks, fs, u0, u_pp, step0):
         return vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, dtype=dtype,
                                ic=ic, dt=dt, num_steps=num_steps,
                                base_k=base_k, fixed_iters=fixed_iters,
                                rtol=rtol, maxiter=maxiter,
                                extrapolate=extrapolate,
                                rline=precondition == "rline",
-                               rtol_wrt=rtol_wrt, f64_refine=f64_refine)
+                               rtol_wrt=rtol_wrt, f64_refine=f64_refine,
+                               record=rec, proj_rtol=proj_rtol,
+                               proj_maxiter=proj_maxiter)
 
     if mesh is not None:
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
         rep = jax.tree.map(lambda _: P(), ops)
+        rep_rec = jax.tree.map(lambda _: P(), rec)
+        out0 = {k: P("config") for k in ("watch", "band", "axis")} \
+            if rec is not None else P("config")
         core = shard_map(core, mesh=mesh,
-                         in_specs=(rep, P("config"), P("config"),
+                         in_specs=(rep, rep_rec, P("config"), P("config"),
                                    P("config"), P("config"), P()),
-                         out_specs=(P("config"), P("config"), P("config")),
+                         out_specs=(out0, P("config"), P("config")),
                          check_vma=False)
 
-    def _batched(ops, ks, fs):
+    def _batched(ops, rec, ks, fs):
         B = len(ks)
         u0 = jnp.full((B, nz, nr), ic, wdt)
-        return core(ops, ks, fs, u0, u0, jnp.asarray(0, wdt))[0]
+        return core(ops, rec, ks, fs, u0, u0, jnp.asarray(0, wdt))[0]
 
-    def _batched_seg(ops, ks, fs, u0, u_pp, step0):
-        return core(ops, ks, fs, u0, u_pp, jnp.asarray(step0, wdt))
+    def _batched_seg(ops, rec, ks, fs, u0, u_pp, step0):
+        return core(ops, rec, ks, fs, u0, u_pp, jnp.asarray(step0, wdt))
 
     if mesh is None:
         batched = jax.jit(_batched)
@@ -583,19 +615,28 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
         rep_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), ops)
+        rec_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), rec)
         cfg_sh = NamedSharding(mesh, P("config"))
         fld_sh = NamedSharding(mesh, P("config", None, None))
         sc_sh = NamedSharding(mesh, P())
-        batched = jax.jit(_batched, in_shardings=(rep_sh, cfg_sh, cfg_sh),
-                          out_shardings=cfg_sh)
+        out0_sh = {k: cfg_sh for k in ("watch", "band", "axis")} \
+            if rec is not None else cfg_sh
+        batched = jax.jit(_batched,
+                          in_shardings=(rep_sh, rec_sh, cfg_sh, cfg_sh),
+                          out_shardings=out0_sh)
         batched_seg = jax.jit(
             _batched_seg,
-            in_shardings=(rep_sh, cfg_sh, cfg_sh, fld_sh, fld_sh, sc_sh),
-            out_shardings=(cfg_sh, fld_sh, fld_sh))
+            in_shardings=(rep_sh, rec_sh, cfg_sh, cfg_sh, fld_sh, fld_sh,
+                          sc_sh),
+            out_shardings=(out0_sh, fld_sh, fld_sh))
 
     def simulate_batch(sample_k, fwhm):
-        return batched(ops, jnp.asarray(sample_k, wdt),
-                       jnp.asarray(fwhm, wdt))
+        out = batched(ops, rec, jnp.asarray(sample_k, wdt),
+                      jnp.asarray(fwhm, wdt))
+        if rec is not None:
+            out = dict(out)
+            out["times"] = np.arange(1, num_steps + 1) * problem.dt
+        return out
 
     def segment(sample_k, fwhm, u0, step0, u_pp=None):
         """(traces, u_fin, u_penultimate) for one time chunk — identical
@@ -603,7 +644,7 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
         live on the overlay lattice)."""
         u0 = jnp.asarray(u0, wdt)
         u_pp = u0 if u_pp is None else jnp.asarray(u_pp, wdt)
-        return batched_seg(ops, jnp.asarray(sample_k, wdt),
+        return batched_seg(ops, rec, jnp.asarray(sample_k, wdt),
                            jnp.asarray(fwhm, wdt), u0, u_pp,
                            jnp.asarray(step0, wdt))
 
@@ -613,6 +654,9 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
     simulate_batch.dt = float(problem.dt)
     simulate_batch.times = (np.arange(1, num_steps + 1) * problem.dt)
     simulate_batch.watcher_names = list(problem.watcher_names)
+    if record_gradient:
+        simulate_batch.band_centers = problem.bin_centers
+        simulate_batch.axis_z = problem.axis_z
     return simulate_batch
 
 
@@ -641,10 +685,12 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     sweeps — fixed budget with ``fixed_iters``, tolerance-based to ``rtol``
     otherwise. Imported-gmsh sweeps at VMEM speed.
 
-    ``record_gradient=True`` (solver='xla' only): each config additionally
+    ``record_gradient=True``: each config additionally
     accumulates band/axis radial-gradient rows (the reference's per-run
     gradient CSVs, ref run_no_diamond.py:602-617); ``simulate_batch`` then
-    returns the full dict instead of bare traces.
+    returns the full dict instead of bare traces. With ``solver='vmem'``
+    both the solve and the projection run through the batched Pallas
+    kernel on the overlay lattice.
 
     ``mesh``: shard the config axis over the device mesh — unstructured
     sweeps fan out across chips exactly like structured ones (the
@@ -674,9 +720,9 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
         raise ValueError("sweeps need watcher points on the problem")
 
     if solver == "vmem":
-        if record_gradient:
-            raise ValueError("record_gradient sweeps run the full stepper; "
-                             "use solver='xla'")
+        if record_gradient and num_steps is not None:
+            raise ValueError("recording sweeps run unsegmented (no "
+                             "num_steps)")
         if f64_refine:
             if jnp.dtype(dtype) != jnp.float32:
                 raise ValueError("f64_refine is the mixed-precision mode: "
@@ -690,7 +736,8 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
             problem, m_idx, dtype=dtype, rtol=rtol, maxiter=maxiter,
             fixed_iters=fixed_iters, warm_start=warm_start,
             num_steps=num_steps, mesh=mesh, rtol_wrt=rtol_wrt,
-            precondition=precondition, f64_refine=f64_refine)
+            precondition=precondition, f64_refine=f64_refine,
+            record_gradient=record_gradient)
         cache[cache_key] = simulate_batch
         return simulate_batch
     if solver != "xla":

@@ -317,3 +317,32 @@ def test_recording_sweep_vmem_refine(sweep_problem):
             continue
         scale = max(1.0, np.abs(a).max())
         assert np.abs(a - b).max() / scale < tol, key
+
+
+def test_unstructured_recording_sweep_vmem_engine():
+    """The overlay VMEM recording engine (solve + per-step projection on
+    the lattice) reproduces the unstructured XLA recording artifacts."""
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["timing"]["num_steps"] = 3
+    domain, mats = build_layout(cfg)
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=3)
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                          temp=df["temp"].to_numpy())
+    problem = build_problem_unstructured(
+        umesh, heating, cfg, watcher_points=coupler_watcher_points(cfg))
+    ref = make_sweep_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-12,
+        record_gradient=True)(KS[:2], FS[:2])
+    got = make_sweep_fn_unstructured(
+        problem, dtype=jnp.float64, rtol=1e-12, solver="vmem",
+        record_gradient=True)(KS[:2], FS[:2])
+    tols = {"watch": 1e-9, "band": 1e-7, "axis": 1e-7}
+    for key, tol in tols.items():
+        a = np.asarray(ref[key], np.float64)
+        b = np.asarray(got[key], np.float64)
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        if a.size == 0:
+            continue
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() / scale < tol, key
