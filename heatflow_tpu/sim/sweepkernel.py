@@ -765,7 +765,12 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     ``warm_start='extrapolate'`` is exact across chunk boundaries: the
     penultimate field of each chunk is threaded into the next, so the
     chunked trajectory equals the unchunked one bitwise (pinned in
-    tests/test_warmstart.py)."""
+    tests/test_warmstart.py).
+
+    ``rtol_wrt`` and ``f64_refine`` thread into the underlying sweep
+    makers (both mesh kinds) — chunked mixed-precision sweeps carry the
+    f64 fields across chunk boundaries exactly
+    (tests/test_sweep_refine.py)."""
     total = int(problem.num_steps)
     chunk_len = min(step_chunk, total)
     from heatflow_tpu.sim.unstructured import ProblemUnstructured
