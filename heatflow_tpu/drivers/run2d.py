@@ -134,7 +134,7 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                    rtol=None, maxiter=20000, record_gradient=True,
                    solver="xla", profile_dir=None, resume_from=None,
                    write_checkpoint=True, mesh_style="structured",
-                   warm_start="previous", precondition="jacobi",
+                   warm_start="previous", precondition=None,
                    z_shards=1, f64_refine=0):
     """Run the 2D transient simulation. See module docstring for outputs.
 
@@ -162,6 +162,16 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             plot_mesh(mesh, png)
             print(f"Mesh visualization written to {png}")
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+        if precondition is None:
+            # rline for f32 gradient-recording runs (clean near-axis
+            # gradient artifacts — measured 44x raw-axis difference at the
+            # same rtol, BENCHMARKS.md "recording engines"), jacobi
+            # otherwise — see utils.resolve_recording_precondition.
+            from heatflow_tpu.utils import resolve_recording_precondition
+            precondition = resolve_recording_precondition(
+                record_gradient, dtype,
+                unstructured_xla=(isinstance(mesh, UnstructuredMesh)
+                                  and solver == "xla"))
         if isinstance(mesh, UnstructuredMesh):
             return _run_unstructured(cfg, mesh, output_folder,
                                      watcher_points, write_xdmf,
@@ -390,11 +400,13 @@ def main(argv=None):
                         "error at equal iterations — BENCHMARKS.md)")
     p.add_argument("--precondition",
                    choices=["jacobi", "rline", "zline", "mg"],
-                   default="jacobi",
-                   help="CG preconditioner (XLA solver path): 'rline' = "
-                        "r-line block-tridiagonal via precomputed PCR "
-                        "(~6-8x fewer iterations on DAC operators), 'mg' = "
-                        "Galerkin multigrid V-cycle")
+                   default=None,
+                   help="CG preconditioner: 'rline' = r-line "
+                        "block-tridiagonal via precomputed PCR (~6-8x fewer "
+                        "iterations on DAC operators), 'mg' = Galerkin "
+                        "multigrid V-cycle. Default: rline for f32 "
+                        "gradient-recording runs (clean raw-axis artifacts "
+                        "— BENCHMARKS.md), jacobi otherwise")
     p.add_argument("--f64-refine", type=int, default=0,
                    help="mixed-precision iterative refinement: N passes of "
                         "f64-residual / f32-correction per step (enables "

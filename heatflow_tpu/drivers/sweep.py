@@ -72,6 +72,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         rtol: float | None = None,
                         rtol_wrt: str = "b",
                         f64_refine: int = 0,
+                        precondition: str | None = None,
                         resume: bool = False):
     """Run the sweep. ``num_processes`` is accepted for API parity and
     ignored — parallelism is the vmapped batch, sharded over ``devices``
@@ -98,6 +99,16 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             # refine is the mixed mode AROUND f32; CPU test runs default to
             # f64 where plain rtol already reaches any accuracy
             raise ValueError("f64_refine needs dtype=float32")
+    prec_defaulted = precondition is None
+    if prec_defaulted:
+        # rline for f32 --record-gradient sweeps (clean near-axis gradient
+        # artifacts at the same rtol AND the faster VMEM recording engine),
+        # jacobi otherwise — see utils.resolve_recording_precondition.
+        # Plain (watcher-only) sweeps keep jacobi: rline measured
+        # accuracy-matched neutral in the wrt-||b|| regime (BENCHMARKS.md).
+        from heatflow_tpu.utils import resolve_recording_precondition
+        precondition = resolve_recording_precondition(
+            record_gradient, dtype, fixed_iters=fixed_iters)
     rtol_kw = {} if rtol is None else {"rtol": rtol}
     if rtol_wrt != "b":
         # increment-relative stopping: the sweep accuracy regime
@@ -144,6 +155,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         "fixed_iters": fixed_iters,
         "record_gradient": record_gradient,
         "f64_refine": f64_refine,
+        "precondition": precondition,
         "devices": [str(d) for d in devs],
         "timestamp": datetime.now().isoformat(),
         "watcher_points": {
@@ -205,11 +217,16 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                 build_problem_unstructured, make_sweep_fn_unstructured)
             problem = build_problem_unstructured(mesh_w, heating, cfg_w,
                                                  watcher_points=wp)
+            prec_u = precondition
+            if prec_u == "rline" and solver == "xla" and prec_defaulted:
+                # the unstructured rline path is the overlay VMEM engine;
+                # a defaulted rline falls back rather than erroring
+                prec_u = "jacobi"
             sweep_fn = make_sweep_fn_unstructured(
                 problem, dtype=dtype, fixed_iters=fixed_iters,
                 warm_start=warm_start, solver=solver, mesh=mesh,
                 record_gradient=record_gradient, f64_refine=f64_refine,
-                **rec_rtol)
+                precondition=prec_u, **rec_rtol)
         else:
             problem = build_problem(mesh_w, heating, cfg_w,
                                     watcher_points=wp)
@@ -224,13 +241,16 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                 sweep_fn = make_sweep_fn_recording(
                     problem, dtype=dtype, fixed_iters=fixed_iters,
                     warm_start=warm_start, mesh=mesh, solver=solver,
-                    f64_refine=f64_refine, **rec_rtol)
+                    f64_refine=f64_refine, precondition=precondition,
+                    **rec_rtol)
             else:
                 sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
                                          solver=solver,
                                          fixed_iters=fixed_iters,
                                          warm_start=warm_start,
-                                         f64_refine=f64_refine, **rtol_kw)
+                                         f64_refine=f64_refine,
+                                         precondition=precondition,
+                                         **rtol_kw)
 
         ks = np.array([c["k"] for c in group])
         fs = np.array([c["fwhm"] for c in group])
@@ -370,6 +390,12 @@ def main(argv=None):
                    help="CG seed per step: previous field, or 2u_n - u_{n-1} "
                         "(accuracy knob at generous fixed-iteration budgets; "
                         "see BENCHMARKS.md)")
+    p.add_argument("--precondition", choices=["jacobi", "rline", "mg"],
+                   default=None,
+                   help="CG preconditioner (default: rline for f32 "
+                        "--record-gradient sweeps — jacobi's unconverged "
+                        "f32 error sits in the near-axis modes the gradient "
+                        "artifacts amplify ~1/h_r; jacobi otherwise)")
     p.add_argument("--f64-refine", type=int, default=0, metavar="N",
                    help="mixed-precision sweeps (--solver vmem, f32): N "
                         "passes of f64-operator residual refinement around "
@@ -396,7 +422,8 @@ def main(argv=None):
         solver=args.solver, fixed_iters=args.fixed_iters,
         warm_start=args.warm_start, record_gradient=args.record_gradient,
         rtol=args.rtol, rtol_wrt=args.rtol_wrt,
-        f64_refine=args.f64_refine, resume=args.resume)
+        f64_refine=args.f64_refine, precondition=args.precondition,
+        resume=args.resume)
 
 
 if __name__ == "__main__":

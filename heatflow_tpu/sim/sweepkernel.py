@@ -698,7 +698,8 @@ def make_sweep_fn_recording(problem: Problem2D, *,
     fn = make_simulate_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
                           fixed_iters=fixed_iters, record_gradient=True,
                           warm_start=warm_start, rtol_wrt=rtol_wrt,
-                          f64_refine=f64_refine)
+                          f64_refine=f64_refine, precondition=precondition,
+                          proj_rtol=proj_rtol, proj_maxiter=proj_maxiter)
     m_idx = list(problem.mesh.material_tags).index(vary_material)
     # refine carries fields/coefficients in f64 (stepper cdt)
     wdt = jnp.float64 if f64_refine else dtype

@@ -59,3 +59,26 @@ def pad_to_multiple(arr, m: int):
     if pad:
         arr = np.concatenate([arr, np.repeat(arr[-1:], pad)])
     return arr
+
+
+def resolve_recording_precondition(record_gradient: bool, dtype,
+                                   *, unstructured_xla: bool = False,
+                                   fixed_iters=None) -> str:
+    """Driver-default CG preconditioner: 'rline' for f32 gradient-recording
+    runs, 'jacobi' otherwise.
+
+    At f32, jacobi-CG's unconverged error concentrates in exactly the
+    near-axis radial modes the gradient artifacts amplify by ~1/h_r — the
+    raw-axis CSV (ref run_no_diamond.py:610-617) picks up spurious spikes
+    ~44x the rline engine's at the same rtol, while rline is also the
+    faster VMEM recording engine (measured, BENCHMARKS.md "recording
+    engines"). f64 runs converge past the artifact's sensitivity either
+    way. The unstructured rline path is the overlay VMEM engine
+    (``unstructured_xla=True`` keeps jacobi), and vmem rline is
+    tolerance-based (a fixed iteration budget keeps jacobi).
+    """
+    import jax.numpy as jnp
+    return ("rline" if record_gradient
+            and jnp.dtype(dtype) == jnp.float32
+            and fixed_iters is None
+            and not unstructured_xla else "jacobi")
