@@ -195,19 +195,23 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         wp = coupler_watcher_points(cfg_w)
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
         rec_rtol = rtol_kw
-        if (record_gradient and not rec_rtol
-                and jnp.dtype(dtype) == jnp.float32):
-            # the recording makers' 1e-6 default (wrt ||b||) is below the
-            # f32 residual floor — every solve would run to maxiter; use
-            # the documented f32 speed/accuracy point instead (same
-            # default run2d applies, drivers/run2d.py). Applies to both
-            # mesh kinds.
-            rec_rtol = {"rtol": 1e-4}
         if f64_refine and "rtol" not in rtol_kw:
             # refine's inner correction solves stop wrt the per-pass f64
             # residual; 1e-4 is the documented inner speed/accuracy point
             # (BENCHMARKS.md mixed-precision table)
             rtol_kw = rec_rtol = {**rtol_kw, "rtol": 1e-4}
+        elif ("rtol" not in rtol_kw and fixed_iters is None
+                and jnp.dtype(dtype) == jnp.float32):
+            # the makers' 1e-6 default (wrt ||b||) is below the f32
+            # residual floor — every solve would run to maxiter. Plain
+            # sweeps use the documented f32 throughput point (1e-4);
+            # artifact-recording sweeps stop tighter (1e-5, the measured
+            # accuracy knee: watch/band errors drop 6x for ~1.8x cost —
+            # BENCHMARKS.md recording-engine table). Applies to both
+            # mesh kinds.
+            rtol_kw = {**rtol_kw, "rtol": 1e-4}
+            rec_rtol = {**rec_rtol,
+                        "rtol": 1e-5 if record_gradient else 1e-4}
         if isinstance(mesh_w, UnstructuredMesh):
             # imported / generated non-grid mesh → unstructured sweep kernel
             # (config-axis sharded over the device mesh exactly like the
