@@ -153,6 +153,10 @@ def make_mg_prec(Ah, shape, mesh, free, omega, nu=1, coarse="splu"):
     line = rline_solver(Ah, shape)
     P, cshape = z_semicoarsen_P(mesh, shape, free)
     Ac = (P.T @ Ah @ P).tocsc()
+    # coarse rows under zeroed (Dirichlet) fine rows are empty — identity
+    # them so the coarse solve is nonsingular (their residual is 0 anyway)
+    dz = np.asarray(Ac.diagonal() == 0, float)
+    Ac = (Ac + sp.diags(dz)).tocsc()
     if coarse == "splu":
         t0 = time.time()
         fc = spla.splu(Ac)
@@ -160,10 +164,11 @@ def make_mg_prec(Ah, shape, mesh, free, omega, nu=1, coarse="splu"):
               file=sys.stderr)
         csolve = fc.solve
     else:
+        n_sweeps = int(coarse.split(":")[1]) if ":" in coarse else 8
         cl = rline_solver(Ac.tocsr(), cshape)
-        def csolve(rc, _n=8):
+        def csolve(rc):
             xc = np.zeros_like(rc)
-            for _ in range(_n):
+            for _ in range(n_sweeps):
                 xc += omega * cl(rc - Ac @ xc)
             return xc
 
@@ -207,24 +212,34 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-5)
     ap.add_argument("--omegas", default="1.0,0.8")
     ap.add_argument("--nu", type=int, default=1)
+    ap.add_argument("--coarse", default="splu",
+                    help="coarse solves, '/'-separated: 'splu' (exact) or "
+                         "'rline:N' (N damped line-Jacobi sweeps — the "
+                         "in-kernel-realizable variant)")
+    ap.add_argument("--with-identity", action="store_true",
+                    help="also run the slow jacobi-only baseline "
+                         "(known: 3228 iters at 1e-5)")
     args = ap.parse_args()
 
     Ah, bh, shape, free, mesh = build_scaled_operator()
     print(f"# operator {shape}, {Ah.nnz} nnz", file=sys.stderr)
 
-    _, it_id = pcg(Ah, bh, lambda r: r, args.rtol)
-    print(f"identity (jacobi-scaled) PCG @ {args.rtol:g}: {it_id} iters")
+    if args.with_identity:
+        _, it_id = pcg(Ah, bh, lambda r: r, args.rtol)
+        print(f"identity (jacobi-scaled) PCG @ {args.rtol:g}: {it_id} iters")
 
     line = rline_solver(Ah, shape)
     _, it_rl = pcg(Ah, bh, line, args.rtol)
     print(f"rline block-Jacobi PCG @ {args.rtol:g}: {it_rl} iters")
 
     for omega in [float(s) for s in args.omegas.split(",")]:
-        prec = make_mg_prec(Ah, shape, mesh, free, omega, nu=args.nu)
-        _, it_mg = pcg(Ah, bh, prec, args.rtol)
-        print(f"MG(z-semi, rline, omega={omega}, nu={args.nu}) PCG @ "
-              f"{args.rtol:g}: {it_mg} iters "
-              f"(cut vs rline: {it_rl / max(it_mg, 1):.1f}x)")
+        for coarse in args.coarse.split("/"):
+            prec = make_mg_prec(Ah, shape, mesh, free, omega, nu=args.nu,
+                                coarse=coarse)
+            _, it_mg = pcg(Ah, bh, prec, args.rtol)
+            print(f"MG(z-semi, rline, omega={omega}, nu={args.nu}, "
+                  f"coarse={coarse}) PCG @ {args.rtol:g}: {it_mg} iters "
+                  f"(cut vs rline: {it_rl / max(it_mg, 1):.1f}x)")
 
 
 if __name__ == "__main__":

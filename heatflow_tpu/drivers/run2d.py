@@ -132,7 +132,7 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                    output_folder=None, watcher_points=None, write_xdmf=True,
                    suppress_print=False, *, layout="auto", dtype=None,
                    rtol=None, maxiter=20000, record_gradient=True,
-                   solver="xla", profile_dir=None, resume_from=None,
+                   solver="auto", profile_dir=None, resume_from=None,
                    write_checkpoint=True, mesh_style="structured",
                    warm_start="previous", precondition=None,
                    z_shards=1, f64_refine=0):
@@ -387,8 +387,10 @@ def main(argv=None):
                    help="'unstructured': graded non-grid triangulation (the "
                         "gmsh-mesh analogue, runs through the ELL path)")
     p.add_argument("--solver", choices=["xla", "vmem", "auto"],
-                   default="xla",
-                   help="'vmem'/'auto': VMEM-resident Pallas CG on TPU")
+                   default="auto",
+                   help="default 'auto' engages the VMEM-resident Pallas "
+                        "CG on TPU f32 when the problem fits; 'xla' forces "
+                        "the streaming path")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace into this directory")
     p.add_argument("--resume", type=str, default=None,

@@ -59,13 +59,44 @@ def mesh_folder_for_width(base_mesh_folder, width):
     return os.path.join(base_mesh_folder, f"width_{w}")
 
 
+def _resolve_solver(solver, mesh_w, *, dtype, precondition, f64_refine,
+                    record_gradient):
+    """'auto' → the batched per-config VMEM Pallas engine on TPU f32 when
+    the working set fits (plain f64_refine sweeps always run the VMEM
+    engine — it is the only one that refines without record_gradient),
+    the XLA path otherwise. Mirrors make_simulate_fn's 'auto' for the
+    sweep makers, which take 'xla'|'vmem'."""
+    if solver != "auto":
+        return solver
+    if f64_refine and not record_gradient:
+        return "vmem"
+    if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
+        return "xla"
+    from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+    if isinstance(mesh_w, UnstructuredMesh):
+        overlay = getattr(mesh_w, "grid_overlay", None)
+        if overlay is None:
+            return "xla"     # the VMEM kernels are stencil-form only
+        import math
+        from heatflow_tpu.ops.pallas_cg import fits_in_vmem
+        oshape = tuple(int(s) for s in overlay["shape"])
+        extra = (3 * math.ceil(math.log2(max(2, oshape[1])))
+                 if precondition == "rline" else 0)
+        return "vmem" if fits_in_vmem(*oshape, dtype, n_points=9,
+                                      extra_planes=extra) else "xla"
+    from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
+    nzw, nrw = mesh_w.shape
+    return ("vmem" if fits_in_vmem_batched(
+        nzw, nrw, dtype, rline=precondition == "rline") else "xla")
+
+
 def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         width_range, num_points, base_mesh_folder="meshes",
                         write_xdmf=False, suppress_print=True,
                         num_processes=None, *, dtype=None,
                         batch_size: int | None = None,
                         save_run_dirs: bool = True, devices=None,
-                        solver: str = "xla",
+                        solver: str = "auto",
                         fixed_iters: int | None = None,
                         warm_start: str = "previous",
                         record_gradient: bool = False,
@@ -91,7 +122,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
     dtype = dtype or (jnp.float32 if jax.default_backend() != "cpu"
                       else default_dtype())
     if f64_refine:
-        if solver != "vmem" and not record_gradient:
+        if solver not in ("vmem", "auto") and not record_gradient:
             raise ValueError("f64_refine sweeps run through solver='vmem' "
                              "(or --record-gradient, whose XLA and vmem "
                              "engines both refine)")
@@ -169,6 +200,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         json.dump(metadata, f, indent=2)
 
     results, failed = [], []
+    solver_resolved = {}     # width → engine actually used ('auto' resolves)
     total_done = 0
     t_sweep = time.time()
 
@@ -212,6 +244,11 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             rtol_kw = {**rtol_kw, "rtol": 1e-4}
             rec_rtol = {**rec_rtol,
                         "rtol": 1e-5 if record_gradient else 1e-4}
+        solver_w = _resolve_solver(solver, mesh_w, dtype=dtype,
+                                   precondition=precondition,
+                                   f64_refine=f64_refine,
+                                   record_gradient=record_gradient)
+        solver_resolved[f"{width:.6e}"] = solver_w
         if isinstance(mesh_w, UnstructuredMesh):
             # imported / generated non-grid mesh → unstructured sweep kernel
             # (config-axis sharded over the device mesh exactly like the
@@ -222,13 +259,13 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             problem = build_problem_unstructured(mesh_w, heating, cfg_w,
                                                  watcher_points=wp)
             prec_u = precondition
-            if prec_u == "rline" and solver == "xla" and prec_defaulted:
+            if prec_u == "rline" and solver_w == "xla" and prec_defaulted:
                 # the unstructured rline path is the overlay VMEM engine;
                 # a defaulted rline falls back rather than erroring
                 prec_u = "jacobi"
             sweep_fn = make_sweep_fn_unstructured(
                 problem, dtype=dtype, fixed_iters=fixed_iters,
-                warm_start=warm_start, solver=solver, mesh=mesh,
+                warm_start=warm_start, solver=solver_w, mesh=mesh,
                 record_gradient=record_gradient, f64_refine=f64_refine,
                 precondition=prec_u, **rec_rtol)
         else:
@@ -244,12 +281,12 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                     make_sweep_fn_recording
                 sweep_fn = make_sweep_fn_recording(
                     problem, dtype=dtype, fixed_iters=fixed_iters,
-                    warm_start=warm_start, mesh=mesh, solver=solver,
+                    warm_start=warm_start, mesh=mesh, solver=solver_w,
                     f64_refine=f64_refine, precondition=precondition,
                     **rec_rtol)
             else:
                 sweep_fn = make_sweep_fn(problem, dtype=dtype, mesh=mesh,
-                                         solver=solver,
+                                         solver=solver_w,
                                          fixed_iters=fixed_iters,
                                          warm_start=warm_start,
                                          f64_refine=f64_refine,
@@ -335,6 +372,13 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             print(f"width {width:.2e}: {B} runs in {group_runtime:.2f}s "
                   f"({B / group_runtime:.1f} configs/s)")
 
+    if solver_resolved:
+        # record the engine each width group actually ran ('auto' resolves
+        # per mesh shape/backend — metadata must report what executed)
+        metadata["solver_resolved"] = solver_resolved
+        with open(os.path.join(output_dir, "sweep_metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2)
+
     results = prior_records + results
     if results:
         pd.DataFrame(results).to_csv(succ_csv, index=False)
@@ -369,10 +413,14 @@ def main(argv=None):
     p.add_argument("--num-processes", type=int, default=None,
                    help="accepted for reference-CLI parity and ignored "
                         "(parallelism is the vmapped device-sharded batch)")
-    p.add_argument("--solver", choices=["xla", "vmem"], default="xla",
+    p.add_argument("--solver", choices=["auto", "xla", "vmem"],
+                   default="auto",
                    help="'vmem': per-config VMEM-resident Pallas CG "
                         "(fastest on TPU; fixed budget with --fixed-iters, "
-                        "tolerance-based otherwise)")
+                        "tolerance-based otherwise). Default 'auto' picks "
+                        "it on TPU f32 whenever the working set fits "
+                        "(per width group; sweep_metadata.json records "
+                        "what ran)")
     p.add_argument("--fixed-iters", type=int, default=None,
                    help="fixed CG iterations per step (static control flow)")
     p.add_argument("--resume", action="store_true",
