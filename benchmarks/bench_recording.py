@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--rtols", default="1e-4,1e-5")
     ap.add_argument("--rtol-wrt", default="b", choices=["b", "r0"])
+    ap.add_argument("--warm-start", default="previous",
+                    choices=["previous", "extrapolate"])
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-ref", action="store_true",
                     help="skip the f64_refine reference (timing only)")
@@ -75,7 +77,8 @@ def main():
     fams = ("watch", "band", "axis")
 
     def run(label, **kw):
-        fn = make_sweep_fn_recording(problem, dtype=jnp.float32, **kw)
+        fn = make_sweep_fn_recording(problem, dtype=jnp.float32,
+                                     warm_start=args.warm_start, **kw)
         t0 = time.time()
         ys = fn(ks, fs)
         jax.block_until_ready(ys["watch"])

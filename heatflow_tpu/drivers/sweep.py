@@ -98,7 +98,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
                         save_run_dirs: bool = True, devices=None,
                         solver: str = "auto",
                         fixed_iters: int | None = None,
-                        warm_start: str = "previous",
+                        warm_start: str | None = None,
                         record_gradient: bool = False,
                         rtol: float | None = None,
                         rtol_wrt: str = "b",
@@ -130,6 +130,16 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             # refine is the mixed mode AROUND f32; CPU test runs default to
             # f64 where plain rtol already reaches any accuracy
             raise ValueError("f64_refine needs dtype=float32")
+    if warm_start is None:
+        # linear-extrapolation seeds (solve AND per-step projection)
+        # measured +35-40% recording throughput at flat accuracy at the
+        # rtol-1e-5 recording point (BENCHMARKS.md recording engines);
+        # fixed-budget and loose-tolerance plain sweeps keep 'previous'
+        # (the gain-2 seed amplifies unconverged noise there — measured,
+        # round-2 warm-start section)
+        warm_start = ("extrapolate" if record_gradient
+                      and fixed_iters is None
+                      and jnp.dtype(dtype) == jnp.float32 else "previous")
     prec_defaulted = precondition is None
     if prec_defaulted:
         # rline for f32 --record-gradient sweeps (clean near-axis gradient
@@ -438,10 +448,11 @@ def main(argv=None):
                         "(full-stepper sweep with the per-step projection, "
                         "matching the reference's per-run artifacts)")
     p.add_argument("--warm-start", choices=["previous", "extrapolate"],
-                   default="previous",
-                   help="CG seed per step: previous field, or 2u_n - u_{n-1} "
-                        "(accuracy knob at generous fixed-iteration budgets; "
-                        "see BENCHMARKS.md)")
+                   default=None,
+                   help="CG seed per step: previous field, or 2u_n - u_{n-1}. "
+                        "Default: extrapolate for f32 --record-gradient "
+                        "sweeps (+35-40%% throughput at flat accuracy — "
+                        "BENCHMARKS.md), previous otherwise")
     p.add_argument("--precondition", choices=["jacobi", "rline", "mg"],
                    default=None,
                    help="CG preconditioner (default: rline for f32 "

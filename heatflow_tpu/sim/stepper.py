@@ -354,7 +354,7 @@ def make_simulate_fn(problem: Problem2D,
                             converged=jnp.asarray(True))
 
         def step(carry, t):
-            u_prev, u_pp, gr_prev = carry
+            u_prev, u_pp, gr_prev, gr_pp = carry
             amp = jnp.interp(t, heat_t, heat_T) - amp_offset
             g = g0 + amp * g1
             b = apply_stencil(M_op, u_prev) + b_src
@@ -385,16 +385,21 @@ def make_simulate_fn(problem: Problem2D,
             if has_watch:
                 outs["watch"] = u.reshape(-1)[dev["watch_flat"]]
             if has_radial:
+                # projection seed rides the same warm-start knob as the
+                # solve: the gradient field evolves as smoothly in time
+                # as u, so its linear extrapolation halves the per-step
+                # projection iterations (measured, BENCHMARKS.md)
+                gr_seed = 2.0 * gr_prev - gr_pp if extrapolate else gr_prev
                 if f64_refine:
                     # the mass projection is well-conditioned after scaling
                     # (no f32 amplification) — keep it at f32 speed
                     br = s_mp32 * apply_stencil(G_r32, u.astype(dtype))
-                    gsol = pcg(apply_Mp_s32, br, gr_prev / s_mp32,
+                    gsol = pcg(apply_Mp_s32, br, gr_seed / s_mp32,
                                rtol=proj_rtol, maxiter=proj_maxiter)
                     gr = gsol.x * s_mp32
                 else:
                     br = s_mp * apply_stencil(G_r, u)
-                    y0p = gr_prev / s_mp
+                    y0p = gr_seed / s_mp
                     gsol = pcg(apply_Mp_s, br, y0p,
                                rtol=proj_rtol, maxiter=proj_maxiter)
                     gr = gsol.x * s_mp
@@ -408,11 +413,11 @@ def make_simulate_fn(problem: Problem2D,
                 gr = gr_prev
             if record_fields:
                 outs["field"] = u
-            return (u, u_prev, gr), outs
+            return (u, u_prev, gr, gr_prev), outs
 
         gr0 = jnp.zeros((nz, nr), dtype)
         ts = (jnp.arange(1, num_steps + 1, dtype=cdt)) * dt + t0
-        (u_fin, _, _), ys = jax.lax.scan(step, (u0, u0, gr0), ts)
+        (u_fin, _, _, _), ys = jax.lax.scan(step, (u0, u0, gr0, gr0), ts)
         ys["final_u"] = u_fin
         ys["times"] = ts
         return ys

@@ -109,7 +109,7 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
 
     def step(carry, t):
         if record is not None:
-            U, U_pp, GR = carry
+            U, U_pp, GR, GR_pp = carry
         else:
             U, U_pp = carry
         amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
@@ -153,9 +153,13 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
         if record is None:
             return (Un, U), watch
         # per-step r-weighted L2 gradient projection, every lane through
-        # the batched VMEM kernel (warm-started from the previous step)
+        # the batched VMEM kernel — seeded from the previous gradient, or
+        # its linear time extrapolation under warm_start='extrapolate'
+        # (the gradient field evolves as smoothly as u; measured ~2x
+        # fewer projection iterations, BENCHMARKS.md)
         br = s_mp[None] * apply_Grb(Un.astype(dtype))
-        Y0p = GR / s_mp[None]
+        GR_seed = 2.0 * GR - GR_pp if extrapolate else GR
+        Y0p = GR_seed / s_mp[None]
         Xp, _pits = cg_vmem_batched_tol(
             Mp, Kz, dks_z, smp_b, br, Y0p, proj_rtol,
             maxiter=proj_maxiter, interpret=interpret, rtol_wrt="b")
@@ -168,7 +172,7 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                 "band": sums / record["bin_counts"],
                 "axis": gr.reshape(gr.shape[0], -1)[:,
                                                     record["axis_nodes"]]}
-        return (Un, U, gr), outs
+        return (Un, U, gr, GR), outs
 
     # times formed as (step0 + i)·dt in ONE rounding so a chunked run's
     # absolute times are bitwise those of the unchunked scan (adding
@@ -179,8 +183,8 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     u00 = jnp.asarray(u0, cdt)
     if record is not None:
         gr0 = jnp.zeros((B,) + s_mp.shape, dtype)
-        (u_fin, u_pen, gr_fin), outs = jax.lax.scan(
-            step, (u00, jnp.asarray(u_pp, cdt), gr0), ts)
+        (u_fin, u_pen, _gr_fin, _gr_pen), outs = jax.lax.scan(
+            step, (u00, jnp.asarray(u_pp, cdt), gr0, gr0), ts)
         outs = {k: jnp.swapaxes(v, 0, 1) for k, v in outs.items()}
         return outs, u_fin, u_pen
     (u_fin, u_pen), traces = jax.lax.scan(

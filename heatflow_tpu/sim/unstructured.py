@@ -386,11 +386,16 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
 
         def step(carry, t):
             if extrapolate:
-                u_prev, u_pp, gr_prev = carry
+                u_prev, u_pp, gr_prev, gr_pp = carry
                 seed = 2.0 * u_prev - u_pp
+                # the projection seed rides the same knob (the gradient
+                # field evolves as smoothly in time as u — measured ~2x
+                # fewer projection iterations, BENCHMARKS.md)
+                gr_seed = 2.0 * gr_prev - gr_pp
             else:
                 u_prev, gr_prev = carry
                 seed = u_prev
+                gr_seed = gr_prev
             amp = jnp.interp(t, heat_t, heat_T) - amp_offset
             g = g0 + amp * g1
             b = (apply_M(u_prev) + b_src - (Ag0 + amp * Ag1)) * s
@@ -428,12 +433,12 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                 if f64_refine:
                     # scaled mass solve is well-conditioned: f32 suffices
                     br = s_mp32 * apply_G32(u.astype(dtype))
-                    gsol = pcg(apply_mp_s32, br, gr_prev / s_mp32,
+                    gsol = pcg(apply_mp_s32, br, gr_seed / s_mp32,
                                rtol=proj_rtol, maxiter=proj_maxiter)
                     gr = gsol.x * s_mp32
                 else:
                     br = s_mp * apply_G(u)
-                    gsol = pcg(apply_mp_s, br, gr_prev / s_mp,
+                    gsol = pcg(apply_mp_s, br, gr_seed / s_mp,
                                rtol=proj_rtol, maxiter=proj_maxiter)
                     gr = gsol.x * s_mp
                 vals = gr[dev["band_nodes"]]
@@ -446,12 +451,13 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                 gr = gr_prev
             if record_fields:
                 outs["field"] = u
-            carry_out = (u, u_prev, gr) if extrapolate else (u, gr)
+            carry_out = (u, u_prev, gr, gr_prev) if extrapolate \
+                else (u, gr)
             return carry_out, outs
 
         gr0 = jnp.zeros((n,), dtype)
         ts = jnp.arange(1, num_steps + 1, dtype=cdt) * dt + t0
-        carry0 = (u0, u0, gr0) if extrapolate else (u0, gr0)
+        carry0 = (u0, u0, gr0, gr0) if extrapolate else (u0, gr0)
         carry_fin, ys = jax.lax.scan(step, carry0, ts)
         u_fin = carry_fin[0]
         ys["times"] = ts

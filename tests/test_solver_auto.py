@@ -78,3 +78,39 @@ def test_sweep_metadata_records_resolved_solver(tmp_path):
     # CPU test backend: auto resolves to the XLA path, and the metadata
     # says so per width group
     assert meta["solver_resolved"] == {f"{width:.6e}": "xla"}
+
+
+def test_sweep_driver_resolves_warm_start(tmp_path):
+    """f32 recording sweeps default to extrapolated warm starts (solve +
+    per-step projection seed) — the +35-40%-at-flat-accuracy point; the
+    resolved value reaches the maker (captured via its memoization key)."""
+    from heatflow_tpu.sim import sweepkernel
+
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 2
+    cfg_path = tmp_path / "base.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    width = float(cfg["mats"]["p_sample"]["z"])
+
+    seen = {}
+    real = sweepkernel.make_sweep_fn_recording
+
+    def capture(problem, **kw):
+        seen.update(kw)
+        return real(problem, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(sweepkernel, "make_sweep_fn_recording", capture):
+        results, failed = sweep_mod.run_parameter_sweep(
+            str(cfg_path), str(tmp_path / "ws"), (4e-6, 4e-6), (3.0, 3.0),
+            (width, width), (1, 1, 1),
+            base_mesh_folder=str(tmp_path / "meshes"),
+            suppress_print=True, dtype=jnp.float32, record_gradient=True)
+    assert results and not failed
+    assert seen["warm_start"] == "extrapolate"
+    assert seen["precondition"] == "rline"
+    assert seen["rtol"] == 1e-5
