@@ -96,7 +96,10 @@ def make_simulate_fn(problem: Problem2D,
     warm_start: 'previous' seeds each step's CG with u_{n} (the reference's
     implicit-in-time structure has no analogue — MUMPS solves exactly);
     'extrapolate' seeds with the linear time extrapolation 2·u_n − u_{n−1},
-    which halves-or-better the initial residual on smooth transients. With
+    which halves-or-better the initial residual on smooth transients;
+    'extrapolate2' seeds with the quadratic 3·u_n − 3·u_{n−1} + u_{n−2}
+    (one more field in the scan carry; see BENCHMARKS.md for where each
+    order wins). With
     ``rtol_wrt='r0'`` the stop threshold is tied to the (now smaller)
     initial residual, so the same rtol buys strictly better absolute
     accuracy; the speed win comes from loosening rtol back to the matched
@@ -118,6 +121,8 @@ def make_simulate_fn(problem: Problem2D,
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
+    if warm_start not in ("previous", "extrapolate", "extrapolate2"):
+        raise ValueError(f"unknown warm_start {warm_start!r}")
     if f64_refine:
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("f64_refine is the mixed-precision mode: "
@@ -290,6 +295,7 @@ def make_simulate_fn(problem: Problem2D,
             else dt * apply_stencil(M_proj, source)
 
         extrapolate = warm_start == "extrapolate"
+        order2 = warm_start == "extrapolate2"
 
         # mixed-precision refinement: f32 casts of the scaled system for the
         # inner correction solves (the f64 master operator computes only the
@@ -354,13 +360,22 @@ def make_simulate_fn(problem: Problem2D,
                             converged=jnp.asarray(True))
 
         def step(carry, t):
-            u_prev, u_pp, gr_prev, gr_pp = carry
+            if order2:
+                u_prev, u_pp, u_ppp, gr_prev, gr_pp, gr_ppp = carry
+            else:
+                u_prev, u_pp, gr_prev, gr_pp = carry
             amp = jnp.interp(t, heat_t, heat_T) - amp_offset
             g = g0 + amp * g1
             b = apply_stencil(M_op, u_prev) + b_src
             b_lift = (b - (Ag0 + amp * Ag1)) * s
-            # CG seed: previous solution, or its linear extrapolation in time
-            u_seed = 2.0 * u_prev - u_pp if extrapolate else u_prev
+            # CG seed: previous solution, or its linear (quadratic for
+            # 'extrapolate2') extrapolation in time
+            if order2:
+                u_seed = 3.0 * (u_prev - u_pp) + u_ppp
+            elif extrapolate:
+                u_seed = 2.0 * u_prev - u_pp
+            else:
+                u_seed = u_prev
             y0 = (u_seed / jnp.where(s > 0, s, 1.0)) * free
             if f64_refine:
                 sol = _solve_refined(b_lift, y0)
@@ -389,7 +404,12 @@ def make_simulate_fn(problem: Problem2D,
                 # solve: the gradient field evolves as smoothly in time
                 # as u, so its linear extrapolation halves the per-step
                 # projection iterations (measured, BENCHMARKS.md)
-                gr_seed = 2.0 * gr_prev - gr_pp if extrapolate else gr_prev
+                if order2:
+                    gr_seed = 3.0 * (gr_prev - gr_pp) + gr_ppp
+                elif extrapolate:
+                    gr_seed = 2.0 * gr_prev - gr_pp
+                else:
+                    gr_seed = gr_prev
                 if f64_refine:
                     # the mass projection is well-conditioned after scaling
                     # (no f32 amplification) — keep it at f32 speed
@@ -413,12 +433,16 @@ def make_simulate_fn(problem: Problem2D,
                 gr = gr_prev
             if record_fields:
                 outs["field"] = u
+            if order2:
+                return (u, u_prev, u_pp, gr, gr_prev, gr_pp), outs
             return (u, u_prev, gr, gr_prev), outs
 
         gr0 = jnp.zeros((nz, nr), dtype)
         ts = (jnp.arange(1, num_steps + 1, dtype=cdt)) * dt + t0
-        (u_fin, _, _, _), ys = jax.lax.scan(step, (u0, u0, gr0, gr0), ts)
-        ys["final_u"] = u_fin
+        init = (u0, u0, u0, gr0, gr0, gr0) if order2 \
+            else (u0, u0, gr0, gr0)
+        carry_fin, ys = jax.lax.scan(step, init, ts)
+        ys["final_u"] = carry_fin[0]
         ys["times"] = ts
         return ys
 

@@ -117,6 +117,33 @@ def test_extrapolation_converges_to_same_solution():
         outs.append(np.asarray(fn()["final_u"]))
     np.testing.assert_allclose(outs[1], outs[0], rtol=0, atol=1e-9)
 
+def test_extrapolate2_converges_and_is_honored():
+    """Quadratic seed (3u_n - 3u_{n-1} + u_{n-2}): converged answers are
+    seed-independent, and at a fixed unconverged budget the trajectory
+    genuinely differs from the linear seed (the knob is wired)."""
+    problem, _ = g._tiny_flagship(size_scale=24.0)
+
+    ref = make_simulate_fn(problem, dtype=jnp.float64, rtol=1e-12,
+                           record_gradient=False,
+                           warm_start="previous")()["final_u"]
+    q = make_simulate_fn(problem, dtype=jnp.float64, rtol=1e-12,
+                         record_gradient=False,
+                         warm_start="extrapolate2")()["final_u"]
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref),
+                               rtol=0, atol=1e-9)
+
+    def fixed(ws):
+        fn = make_simulate_fn(problem, dtype=jnp.float64, fixed_iters=10,
+                              record_gradient=False, warm_start=ws)
+        return np.asarray(fn()["final_u"])
+
+    assert np.abs(fixed("extrapolate2") - fixed("extrapolate")).max() > 1e-6
+
+    import pytest
+    with pytest.raises(ValueError, match="warm_start"):
+        make_simulate_fn(problem, warm_start="cubic")
+
+
 def test_chunked_extrapolate_matches_unchunked_bitwise():
     """Warm-start history is threaded across time chunks: a chunked
     'extrapolate' run must reproduce the unchunked trajectory BITWISE in
