@@ -173,12 +173,22 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             # rline for f32 gradient-recording runs (clean near-axis
             # gradient artifacts — measured 44x raw-axis difference at the
             # same rtol, BENCHMARKS.md "recording engines"), jacobi
-            # otherwise — see utils.resolve_recording_precondition.
+            # otherwise — see utils.resolve_recording_precondition. The
+            # unstructured rline engine is the overlay VMEM kernel, so the
+            # default must check what 'auto' (or an explicit 'xla') will
+            # actually run, not the solver string.
             from heatflow_tpu.utils import resolve_recording_precondition
+            unstructured_xla = False
+            if isinstance(mesh, UnstructuredMesh):
+                if solver == "auto":
+                    from heatflow_tpu.sim.unstructured import \
+                        auto_selects_vmem
+                    unstructured_xla = not auto_selects_vmem(
+                        mesh, dtype, precondition="rline")
+                else:
+                    unstructured_xla = solver == "xla"
             precondition = resolve_recording_precondition(
-                record_gradient, dtype,
-                unstructured_xla=(isinstance(mesh, UnstructuredMesh)
-                                  and solver == "xla"))
+                record_gradient, dtype, unstructured_xla=unstructured_xla)
         if isinstance(mesh, UnstructuredMesh):
             return _run_unstructured(cfg, mesh, output_folder,
                                      watcher_points, write_xdmf,

@@ -155,6 +155,28 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         # increment-relative stopping: the sweep accuracy regime
         # (~12x lower worst-lane deviation at ~2.3x cost — BENCHMARKS.md)
         rtol_kw["rtol_wrt"] = rtol_wrt
+    # Default-tolerance resolution — ONCE, before the width loop (the
+    # defaults are width-independent; resolving them inside the loop would
+    # leak the first width's resolved rtol into later widths' "was rtol
+    # given?" checks and silently drop the tighter recording default).
+    rec_rtol = rtol_kw
+    if f64_refine and "rtol" not in rtol_kw:
+        # refine's inner correction solves stop wrt the per-pass f64
+        # residual; 1e-4 is the documented inner speed/accuracy point
+        # (BENCHMARKS.md mixed-precision table)
+        rtol_kw = rec_rtol = {**rtol_kw, "rtol": 1e-4}
+    elif ("rtol" not in rtol_kw and fixed_iters is None
+            and jnp.dtype(dtype) == jnp.float32):
+        # the makers' 1e-6 default (wrt ||b||) is below the f32
+        # residual floor — every solve would run to maxiter. Plain
+        # sweeps use the documented f32 throughput point (1e-4);
+        # artifact-recording sweeps stop tighter (1e-5, the measured
+        # accuracy knee: watch/band errors drop 6x for ~1.8x cost —
+        # BENCHMARKS.md recording-engine table). Applies to both
+        # mesh kinds.
+        rtol_kw = {**rtol_kw, "rtol": 1e-4}
+        rec_rtol = {**rec_rtol,
+                    "rtol": 1e-5 if record_gradient else 1e-4}
     devs = list(devices) if devices is not None else jax.devices()
     mesh = None
     if len(devs) > 1:
@@ -171,6 +193,11 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
 
     combos, fwhm_vals, k_vals, width_vals = create_parameter_grid(
         fwhm_range, k_range, width_range, num_points)
+    # run_id is the combo's 1-based position in the full grid: stable across
+    # resumes (a retried run keeps the id its first attempt had), so merged
+    # successful/failed records never carry duplicate ids
+    for _i, _c in enumerate(combos):
+        _c["run_id"] = _i + 1
     os.makedirs(output_dir, exist_ok=True)
 
     prior_records = []
@@ -211,18 +238,13 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
 
     results, failed = [], []
     solver_resolved = {}     # width → engine actually used ('auto' resolves)
-    total_done = 0
     t_sweep = time.time()
 
     for width in width_vals:
         group = [c for c in combos if c["width"] == width]
         if done_names:
-            n_all = len(group)
             group = [c for c in group
                      if run_name(c["fwhm"], c["k"], width) not in done_names]
-            # skipped runs still advance run_id so merged records from a
-            # partially-resumed width group never duplicate ids
-            total_done += n_all - len(group)
             if not group:
                 continue
         mesh_folder = mesh_folder_for_width(base_mesh_folder, width)
@@ -236,24 +258,6 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         heating = HeatingCurve.from_csv(cfg_w["heating"]["file"])
         wp = coupler_watcher_points(cfg_w)
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
-        rec_rtol = rtol_kw
-        if f64_refine and "rtol" not in rtol_kw:
-            # refine's inner correction solves stop wrt the per-pass f64
-            # residual; 1e-4 is the documented inner speed/accuracy point
-            # (BENCHMARKS.md mixed-precision table)
-            rtol_kw = rec_rtol = {**rtol_kw, "rtol": 1e-4}
-        elif ("rtol" not in rtol_kw and fixed_iters is None
-                and jnp.dtype(dtype) == jnp.float32):
-            # the makers' 1e-6 default (wrt ||b||) is below the f32
-            # residual floor — every solve would run to maxiter. Plain
-            # sweeps use the documented f32 throughput point (1e-4);
-            # artifact-recording sweeps stop tighter (1e-5, the measured
-            # accuracy knee: watch/band errors drop 6x for ~1.8x cost —
-            # BENCHMARKS.md recording-engine table). Applies to both
-            # mesh kinds.
-            rtol_kw = {**rtol_kw, "rtol": 1e-4}
-            rec_rtol = {**rec_rtol,
-                        "rtol": 1e-5 if record_gradient else 1e-4}
         solver_w = _resolve_solver(solver, mesh_w, dtype=dtype,
                                    precondition=precondition,
                                    f64_refine=f64_refine,
@@ -347,10 +351,9 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             err_detail[ok & ~ok_grad] = "non-finite gradient projection"
             ok = ok & ok_grad
         for i, combo in enumerate(group):
-            total_done += 1
             name = run_name(combo["fwhm"], combo["k"], width)
             run_dir = os.path.join(output_dir, name)
-            rec = {"run_id": total_done, "run_name": name,
+            rec = {"run_id": combo["run_id"], "run_name": name,
                    "fwhm": combo["fwhm"], "k": combo["k"], "width": width,
                    "output_dir": run_dir,
                    "runtime": group_runtime / B,

@@ -155,23 +155,32 @@ def make_simulate_fn(problem: Problem2D,
         extra = (3 * math.ceil(math.log2(max(2, nr)))
                  if precondition == "rline" else 0)
         use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
+    if solver == "vmem" and not use_vmem:
+        raise ValueError(
+            f"problem ({nz}x{nr}, {dtype}) exceeds the VMEM budget; "
+            "use solver='xla'")
     if solver == "auto" and (jax.default_backend() != "tpu"
                              or jnp.dtype(dtype) != jnp.float32):
         use_vmem = False  # the Pallas kernel is TPU-only, f32-only
+    if use_vmem and precondition == "zline":
+        # only 'rline' has an in-kernel PCR; the VMEM solve would silently
+        # drop a zline preconditioner — route zline to the XLA path
+        if solver == "vmem":
+            raise ValueError("precondition='zline' is not available in the "
+                             "VMEM kernel (only 'rline' has an in-kernel "
+                             "PCR); use solver='xla'")
+        use_vmem = False
     if mesh is not None:
-        if solver == "vmem" or use_vmem:
+        if solver == "vmem":
             raise ValueError("z-sharding a single problem runs the XLA "
                              "solver path (the VMEM kernel keeps whole "
                              "problems on one chip); use solver='xla'")
+        use_vmem = False  # 'auto' under z-sharding resolves to XLA
         if "z" not in mesh.axis_names:
             raise ValueError("make_simulate_fn(mesh=...) needs a 'z' axis")
         if nz % mesh.shape["z"] != 0:
             raise ValueError(f"Nz={nz} not divisible by the 'z' axis size "
                              f"{mesh.shape['z']}")
-        if solver == "vmem" and not use_vmem:
-            raise ValueError(
-                f"problem ({nz}x{nr}, {dtype}) exceeds the VMEM budget; "
-                "use solver='xla'")
     mg_host = None
     mg_shapes = None
     if precondition == "mg":

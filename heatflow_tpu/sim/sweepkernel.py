@@ -605,7 +605,6 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
                          out_specs={k: P("config")
                                     for k in ("watch", "band", "axis")},
                          check_vma=False)
-        from jax.sharding import NamedSharding
         ops_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), ops)
         rec_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), record)
         cfg_sh = NamedSharding(mesh, P("config"))

@@ -136,6 +136,25 @@ def _overlay_prep(problem: ProblemUnstructured):
     return idx_np, np.argsort(idx_np), oshape, stn
 
 
+def auto_selects_vmem(mesh, dtype, precondition="jacobi") -> bool:
+    """Would ``solver='auto'`` pick the grid-overlay VMEM engine for this
+    mesh/dtype? (TPU backend, f32, overlay present and within the VMEM
+    budget.)  Drivers use this to resolve engine-dependent defaults —
+    notably whether a DEFAULTED rline preconditioner is available — before
+    building the simulate fn (the same logic gates ``use_vmem`` inside
+    :func:`make_simulate_fn_unstructured`)."""
+    overlay = getattr(mesh, "grid_overlay", None)
+    if overlay is None or jax.default_backend() != "tpu" \
+            or jnp.dtype(dtype) != jnp.float32:
+        return False
+    import math
+    from heatflow_tpu.ops.pallas_cg import fits_in_vmem
+    oshape = tuple(int(s) for s in overlay["shape"])
+    extra = (3 * math.ceil(math.log2(max(2, oshape[1])))
+             if precondition == "rline" else 0)
+    return fits_in_vmem(*oshape, dtype, n_points=9, extra_planes=extra)
+
+
 def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                   dtype=jnp.float64, rtol=1e-11,
                                   maxiter=20000, fixed_iters=None,
@@ -217,27 +236,33 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     overlay = getattr(problem.mesh, "grid_overlay", None)
     use_vmem = False
     vmem_interpret = jax.default_backend() != "tpu"
-    if solver in ("vmem", "auto"):
+    if solver == "vmem":
         if overlay is None:
-            if solver == "vmem":
-                raise ValueError("solver='vmem' needs a grid-overlay mesh "
-                                 "(the VMEM kernel is stencil-form only)")
-        else:
-            import math
-            from heatflow_tpu.ops.pallas_cg import fits_in_vmem
-            oshape0 = tuple(int(s) for s in overlay["shape"])
-            extra = (3 * math.ceil(math.log2(max(2, oshape0[1])))
-                     if precondition == "rline" else 0)
-            use_vmem = fits_in_vmem(*oshape0, dtype, n_points=9,
-                                    extra_planes=extra)
-            if solver == "vmem" and not use_vmem:
-                raise ValueError("problem exceeds the VMEM budget")
-            if solver == "vmem" and not vmem_interpret \
-                    and dtype != jnp.float32:
-                raise ValueError("the VMEM kernel is f32-only on TPU")
-            if solver == "auto" and (vmem_interpret
-                                     or dtype != jnp.float32):
-                use_vmem = False  # off-TPU / non-f32: use the XLA path
+            raise ValueError("solver='vmem' needs a grid-overlay mesh "
+                             "(the VMEM kernel is stencil-form only)")
+        import math
+        from heatflow_tpu.ops.pallas_cg import fits_in_vmem
+        oshape0 = tuple(int(s) for s in overlay["shape"])
+        extra = (3 * math.ceil(math.log2(max(2, oshape0[1])))
+                 if precondition == "rline" else 0)
+        if not fits_in_vmem(*oshape0, dtype, n_points=9, extra_planes=extra):
+            raise ValueError("problem exceeds the VMEM budget")
+        if not vmem_interpret and dtype != jnp.float32:
+            raise ValueError("the VMEM kernel is f32-only on TPU")
+        use_vmem = True
+    elif solver == "auto":
+        use_vmem = auto_selects_vmem(problem.mesh, dtype, precondition)
+    if precondition == "rline" and not use_vmem:
+        # the only unstructured rline engine is the overlay VMEM kernel —
+        # running the ELL/XLA path here would silently drop the
+        # preconditioner (drivers pre-resolve via auto_selects_vmem and
+        # fall back to jacobi for DEFAULTED rline; an explicit request
+        # errors instead of lying)
+        raise ValueError(
+            "rline preconditioning on unstructured problems runs the "
+            "grid-overlay VMEM engine, which was not selected here (no "
+            "overlay, exceeds the VMEM budget, or off-TPU/non-f32 under "
+            "solver='auto'); use precondition='jacobi' or solver='vmem'")
     if overlay is not None:
         idx_np, inv_np, oshape, stn = _overlay_prep(problem)
         remap = lambda v: np.asarray(v)[inv_np]

@@ -1,0 +1,165 @@
+"""Round-3 review fixes: engine/preconditioner resolution edge cases.
+
+1. ``make_simulate_fn(solver='vmem')`` on an over-budget problem raises
+   (the guard had become dead code nested under ``mesh is not None``, so
+   an explicit VMEM request silently ran — and reported — the XLA path).
+2. ``make_simulate_fn(mesh=..., solver='auto')`` resolves to the XLA path
+   instead of raising on problems that would fit VMEM on TPU f32 (the
+   documented ``run2d --z-shards`` combination with the default solver).
+3. ``precondition='zline'``: the VMEM kernel has no z-line PCR — an
+   explicit ``solver='vmem'`` errors instead of silently dropping the
+   preconditioner, and ``'auto'`` routes to the XLA path which honors it.
+4. Unstructured rline runs ONLY on the grid-overlay VMEM engine: asking
+   for it with an engine that cannot apply it raises instead of silently
+   running unpreconditioned; drivers resolve DEFAULTED rline through
+   ``auto_selects_vmem`` first.
+5. Sweep-driver rtol defaults are width-independent — the resolution used
+   to mutate its own "was rtol given?" check inside the width loop, so
+   recording sweeps lost the tighter 1e-5 default from width 2 on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+from heatflow_tpu.mesh.structured import build_structured_mesh
+from heatflow_tpu.sim.bc import HeatingCurve
+from heatflow_tpu.sim.problem import build_problem
+from heatflow_tpu.sim.stepper import make_simulate_fn
+from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
+
+
+@pytest.fixture()
+def tiny_problem(tmp_path):
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    problem = build_problem(mesh, HeatingCurve.from_csv(str(heat_csv)), cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    return cfg, problem
+
+
+def test_vmem_budget_guard_raises(tiny_problem, monkeypatch):
+    import heatflow_tpu.ops.pallas_cg as pcg_mod
+    _cfg, problem = tiny_problem
+    monkeypatch.setattr(pcg_mod, "fits_in_vmem",
+                        lambda *a, **k: False)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        make_simulate_fn(problem, dtype=jnp.float32, solver="vmem",
+                         maxiter=7701)
+
+
+def test_zline_vmem_raises_auto_falls_back(tiny_problem, monkeypatch):
+    _cfg, problem = tiny_problem
+    with pytest.raises(ValueError, match="zline"):
+        make_simulate_fn(problem, dtype=jnp.float32, solver="vmem",
+                         precondition="zline", maxiter=7702)
+
+    # 'auto' on (emulated) TPU f32 would pick VMEM — zline must route to
+    # the XLA path, which applies the preconditioner, not drop it
+    import heatflow_tpu.sim.stepper as stepper_mod
+    monkeypatch.setattr(stepper_mod.jax, "default_backend", lambda: "tpu")
+    fn = make_simulate_fn(problem, dtype=jnp.float32, solver="auto",
+                          precondition="zline", rtol=1e-4, maxiter=7703)
+    monkeypatch.undo()
+    ys = fn()
+    assert np.isfinite(np.asarray(ys["watch"])).all()
+    assert np.asarray(ys["cg_iters"]).max() > 0
+
+
+def test_mesh_with_auto_resolves_to_xla(tiny_problem, monkeypatch):
+    """run2d --z-shards N with the default solver='auto' must build and
+    run (previously: hard ValueError whenever the problem fit VMEM)."""
+    from heatflow_tpu.parallel.sharding import config_mesh
+    import heatflow_tpu.sim.stepper as stepper_mod
+    _cfg, problem = tiny_problem
+    nz = problem.mesh.shape[0]
+    zs = 2 if nz % 2 == 0 else 1
+    if zs == 1:
+        pytest.skip("odd Nz in fixture")
+    dmesh = config_mesh(zs, z_shards=zs)
+
+    monkeypatch.setattr(stepper_mod.jax, "default_backend", lambda: "tpu")
+    fn = make_simulate_fn(problem, dtype=jnp.float32, solver="auto",
+                          mesh=dmesh, rtol=1e-4, maxiter=7704,
+                          record_gradient=False)
+    monkeypatch.undo()
+    ys = fn()
+    assert np.isfinite(np.asarray(ys["watch"])).all()
+
+    # explicit 'vmem' with a device mesh still errors (whole problems stay
+    # on one chip in the VMEM engine)
+    with pytest.raises(ValueError, match="z-sharding"):
+        make_simulate_fn(problem, dtype=jnp.float32, solver="vmem",
+                         mesh=dmesh, maxiter=7705)
+
+
+def test_unstructured_rline_requires_vmem_engine(tmp_path):
+    from heatflow_tpu.mesh.unstructured_gen import build_unstructured_mesh
+    from heatflow_tpu.sim.unstructured import (auto_selects_vmem,
+                                               build_problem_unstructured,
+                                               make_simulate_fn_unstructured)
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=2.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    domain, mats = build_layout(cfg)
+    umesh = build_unstructured_mesh(domain, mats, jitter=0.25, seed=7)
+    problem = build_problem_unstructured(
+        umesh, HeatingCurve.from_csv(str(heat_csv)), cfg,
+        watcher_points=coupler_watcher_points(cfg))
+
+    # on CPU, 'auto' resolves to the XLA/ELL path — no rline engine there;
+    # the maker must refuse rather than silently run unpreconditioned
+    assert not auto_selects_vmem(umesh, jnp.float32, "rline")
+    with pytest.raises(ValueError, match="grid-overlay VMEM engine"):
+        make_simulate_fn_unstructured(problem, dtype=jnp.float32,
+                                      solver="auto", precondition="rline",
+                                      maxiter=7706)
+
+    # the drivers' DEFAULT therefore resolves to jacobi here
+    from heatflow_tpu.utils import resolve_recording_precondition
+    assert resolve_recording_precondition(
+        True, jnp.float32, unstructured_xla=True) == "jacobi"
+
+
+def test_sweep_rtol_defaults_width_independent(tmp_path, monkeypatch):
+    """Recording sweeps stop at rtol 1e-5 (the measured accuracy knee) for
+    EVERY width group, not just the first."""
+    import heatflow_tpu.sim.sweepkernel as sk
+    from heatflow_tpu.drivers.sweep import run_parameter_sweep
+
+    seen = []
+    real = sk.make_sweep_fn_recording
+
+    def spy(problem, **kw):
+        seen.append(kw.get("rtol"))
+        return real(problem, **kw)
+
+    monkeypatch.setattr(sk, "make_sweep_fn_recording", spy)
+
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 2
+    cfg_path = tmp_path / "base.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    width = float(cfg["mats"]["p_sample"]["z"])
+
+    results, failed = run_parameter_sweep(
+        str(cfg_path), str(tmp_path / "out"), (4e-6, 4e-6), (3.0, 3.0),
+        (width, 1.5 * width), (1, 1, 2),
+        base_mesh_folder=str(tmp_path / "meshes"), suppress_print=True,
+        dtype=jnp.float32, record_gradient=True, precondition="jacobi")
+    assert len(results) == 2 and not failed
+    assert seen == [1e-5, 1e-5]

@@ -220,9 +220,10 @@ def test_sweep_resume_skips_completed(tmp_path):
         (2, 2, 1), **kw)
     assert len(results) == 4 and not failed
 
-    # simulate a crash that lost half the grid
+    # simulate a crash that lost half the grid — INTERLEAVED, so id
+    # accounting by skipped-count would collide with the kept records
     df = pd.read_csv(os.path.join(out, "successful_runs.csv"))
-    kept = df.iloc[:2]
+    kept = df.iloc[[0, 2]]
     kept.to_csv(os.path.join(out, "successful_runs.csv"), index=False)
 
     results2, failed2 = run_parameter_sweep(
@@ -231,6 +232,10 @@ def test_sweep_resume_skips_completed(tmp_path):
     assert not failed2
     merged = pd.read_csv(os.path.join(out, "successful_runs.csv"))
     assert set(merged["run_name"]) == set(df["run_name"])
+    # run_id is the combo's position in the full grid: retried runs keep
+    # the id of their first attempt, so the merged set never duplicates
+    assert sorted(merged["run_id"]) == sorted(df["run_id"])
+    assert len(set(merged["run_id"])) == len(merged)
     # only the two missing combos were re-executed
     assert len(results2) == 4 and len(
         [r for r in results2 if r["run_name"] in set(kept["run_name"])]) == 2
