@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--truth-only", action="store_true")
     ap.add_argument("--ws", default="extrapolate,extrapolate2")
     ap.add_argument("--rtols", default="1e-4")
+    ap.add_argument("--inner-seed", default="zero",
+                    help="refined inner-CG seed: zero | carry")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
@@ -87,7 +89,8 @@ def main():
                                   maxiter=8000, record_gradient=False,
                                   record_fields=False, rtol_wrt="r0",
                                   solver="auto", precondition="rline",
-                                  warm_start=ws, f64_refine=1)
+                                  warm_start=ws, f64_refine=1,
+                                  inner_seed=args.inner_seed)
             best = np.inf
             for _ in range(args.reps):
                 t0 = time.time()
@@ -98,7 +101,7 @@ def main():
             iters = np.asarray(ys["cg_iters"])
             err = watch - truth
             print(json.dumps({
-                "ws": ws, "rtol": rtol,
+                "ws": ws, "rtol": rtol, "inner_seed": args.inner_seed,
                 "steps_per_sec": round(problem.num_steps / best, 1),
                 "iters_mean": round(float(iters.mean()), 1),
                 "iters_max": int(iters.max()),

@@ -65,7 +65,8 @@ def make_simulate_fn(problem: Problem2D,
                      vmem_cheb_degree: int = 0,
                      warm_start: str = "previous",
                      mesh=None,
-                     f64_refine: int = 0) -> Callable:
+                     f64_refine: int = 0,
+                     inner_seed: str = "zero") -> Callable:
     """Build a jittable simulate(kappas, rho_cvs, fwhm) -> dict of traces.
 
     ``f64_refine``: mixed-precision iterative refinement (dtype must be
@@ -105,6 +106,12 @@ def make_simulate_fn(problem: Problem2D,
     accuracy; the speed win comes from loosening rtol back to the matched
     trace-accuracy point (measured in BENCHMARKS.md).
 
+    inner_seed (refined path only): 'zero' starts each pass's correction
+    CG from 0 (official); 'carry' seeds it with the previous step's
+    correction for the same pass — measured dominated by the zero-seed
+    rtol frontier on TPU (BENCHMARKS.md measured-negative #5), kept as a
+    tested option.
+
     Memoized per problem (problem.extras) keyed by every argument: repeated
     calls with identical parameters return the same compiled callable
     instead of re-tracing (same convention as sweepkernel.make_sweep_fn).
@@ -114,15 +121,19 @@ def make_simulate_fn(problem: Problem2D,
         # per-pass f64 residual — increment-relative by construction), so
         # the outer rtol_wrt has no effect; normalize it out of the key
         rtol_wrt = "b"
+    if not f64_refine:
+        inner_seed = "zero"  # only meaningful for the refined inner solves
     cache_key = ("simulate_fn", jnp.dtype(dtype).name, rtol, maxiter,
                  fixed_iters, proj_rtol, proj_maxiter, record_gradient,
                  record_fields, precondition, rtol_wrt, solver,
-                 vmem_cheb_degree, warm_start, mesh, f64_refine)
+                 vmem_cheb_degree, warm_start, mesh, f64_refine, inner_seed)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
     if warm_start not in ("previous", "extrapolate", "extrapolate2"):
         raise ValueError(f"unknown warm_start {warm_start!r}")
+    if inner_seed not in ("zero", "carry"):
+        raise ValueError(f"unknown inner_seed {inner_seed!r}")
     if f64_refine:
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("f64_refine is the mixed-precision mode: "
@@ -331,9 +342,22 @@ def make_simulate_fn(problem: Problem2D,
             apply_Mp_s32 = lambda y: s_mp32 * apply_stencil(M_proj32,
                                                             s_mp32 * y)
 
-        def _solve_refined(b_lift, y0):
+        carry_inner = inner_seed == "carry"
+
+        def _solve_refined(b_lift, y0, dys):
             """N passes of f64-residual / f32-correction iterative
-            refinement on the scaled system (see the f64_refine doc)."""
+            refinement on the scaled system (see the f64_refine doc).
+
+            ``dys``: (N, nz, nr) f32 — the previous step's per-pass
+            corrections, used as the inner CG seeds when
+            ``inner_seed='carry'``. The inner rhs is unit-normalized, so
+            each carried correction is already on the right scale.
+            Measured on TPU (BENCHMARKS.md measured-negative #5): the
+            carried seed strips the fast-converging high-frequency
+            residual content, leaving a low-mode-dominated residual the
+            inner CG reduces more slowly — more accuracy than requested
+            at more cost, dominated by simply tightening rtol with the
+            zero seed. Kept as a tested option; 'zero' is official."""
             from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
             bt = b_lift * free
             # Inner stop floor: once the f64 residual is at f64 roundoff
@@ -346,29 +370,35 @@ def make_simulate_fn(problem: Problem2D,
             y = y0
             iters = jnp.zeros((), jnp.int32)
             z32 = jnp.zeros((nz, nr), dtype)
-            for _ in range(f64_refine):
+            new_dys = []
+            for i in range(f64_refine):
                 r64 = bt - free * apply_A_s(y)
                 rn2 = jnp.sum(r64 * r64)
                 # unit-norm rhs + degenerate stop (ops.cg.refine_inner_scale)
                 rnorm, rtol_eff = refine_inner_scale(rn2, floor2, rtol,
                                                      dtype)
                 r32 = (r64 / rnorm).astype(dtype)
+                seed = dys[i] if carry_inner else z32
                 if use_vmem:
-                    dy, its = cg_vmem_tol(A32, sm32, r32, z32, rtol_eff,
+                    dy, its = cg_vmem_tol(A32, sm32, r32, seed, rtol_eff,
                                           maxiter=maxiter, rtol_wrt="b",
                                           pcr=pcr_stack32)
                 else:
-                    dsol = pcg(apply_A32_s, r32, z32, precond=pre32,
+                    dsol = pcg(apply_A32_s, r32, seed, precond=pre32,
                                mask=free32, rtol=rtol_eff, maxiter=maxiter,
                                rtol_wrt="b")
                     dy, its = dsol.x, dsol.iters
+                new_dys.append(dy)
                 y = y + dy.astype(cdt) * rnorm
                 iters = iters + its
             return CGResult(x=y, iters=iters,
                             residual=jnp.zeros((), cdt),
-                            converged=jnp.asarray(True))
+                            converged=jnp.asarray(True)), \
+                jnp.stack(new_dys)
 
         def step(carry, t):
+            if carry_inner:
+                carry, dys_prev = carry[:-1], carry[-1]
             if order2:
                 u_prev, u_pp, u_ppp, gr_prev, gr_pp, gr_ppp = carry
             else:
@@ -387,7 +417,10 @@ def make_simulate_fn(problem: Problem2D,
                 u_seed = u_prev
             y0 = (u_seed / jnp.where(s > 0, s, 1.0)) * free
             if f64_refine:
-                sol = _solve_refined(b_lift, y0)
+                sol, dys = _solve_refined(
+                    b_lift, y0,
+                    dys_prev if carry_inner else
+                    jnp.zeros((f64_refine, nz, nr), dtype))
             elif use_vmem:
                 from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
                 x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0, rtol,
@@ -442,14 +475,18 @@ def make_simulate_fn(problem: Problem2D,
                 gr = gr_prev
             if record_fields:
                 outs["field"] = u
-            if order2:
-                return (u, u_prev, u_pp, gr, gr_prev, gr_pp), outs
-            return (u, u_prev, gr, gr_prev), outs
+            new_carry = (u, u_prev, u_pp, gr, gr_prev, gr_pp) if order2 \
+                else (u, u_prev, gr, gr_prev)
+            if carry_inner:
+                new_carry = new_carry + (dys,)
+            return new_carry, outs
 
         gr0 = jnp.zeros((nz, nr), dtype)
         ts = (jnp.arange(1, num_steps + 1, dtype=cdt)) * dt + t0
         init = (u0, u0, u0, gr0, gr0, gr0) if order2 \
             else (u0, u0, gr0, gr0)
+        if carry_inner:
+            init = init + (jnp.zeros((f64_refine, nz, nr), dtype),)
         carry_fin, ys = jax.lax.scan(step, init, ts)
         ys["final_u"] = carry_fin[0]
         ys["times"] = ts
@@ -517,6 +554,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
                   record_fields: bool = False,
                   precondition: str = "jacobi", solver: str = "xla",
                   warm_start: str = "previous", mesh=None, f64_refine: int = 0,
+                  inner_seed: str = "zero",
                   kappas=None, rho_cvs=None, fwhm=None,
                   u0=None, t0: float = 0.0, source=None) -> TransientResult:
     """Convenience wrapper: build, run, and repatriate results (the simulate
@@ -526,7 +564,7 @@ def run_transient(problem: Problem2D, *, dtype=jnp.float64,
         fixed_iters=fixed_iters, record_gradient=record_gradient,
         record_fields=record_fields, precondition=precondition,
         solver=solver, warm_start=warm_start, mesh=mesh,
-        f64_refine=f64_refine)
+        f64_refine=f64_refine, inner_seed=inner_seed)
     ys = fn(kappas, rho_cvs, fwhm, u0, t0, source)
     ys = jax.tree.map(np.asarray, ys)
 

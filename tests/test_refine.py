@@ -83,6 +83,32 @@ def test_refined_rline_matches_jacobi(tiny):
     assert eb < e_plain / 5, (eb, e_plain)
 
 
+def test_refined_carry_inner_seed_matches_zero(tiny):
+    """inner_seed='carry' (seed each pass's inner CG with the previous
+    step's correction) is a pure iteration-count optimization: stopping is
+    wrt the unit-normalized rhs, so the trajectory matches the zero-seed
+    one at the inner tolerance and stays refined-accurate vs f64."""
+    problem, truth = tiny
+    z = make_simulate_fn(problem, dtype=jnp.float32, rtol=1e-4,
+                         record_gradient=False, f64_refine=2,
+                         inner_seed="zero")()
+    c = make_simulate_fn(problem, dtype=jnp.float32, rtol=1e-4,
+                         record_gradient=False, f64_refine=2,
+                         inner_seed="carry")()
+    ez, ec = _trace_err(z, truth), _trace_err(c, truth)
+    assert ec < 5 * max(ez, 1e-10), (ec, ez)
+    dz = float(np.abs(np.asarray(z["watch"], np.float64)
+                      - np.asarray(c["watch"], np.float64)).max())
+    span = float(np.abs(np.asarray(truth["watch"])).max())
+    assert dz < 1e-3 * max(span, 1.0), dz
+    # the seed must not *increase* the iteration bill
+    assert (np.asarray(c["cg_iters"]).mean()
+            <= np.asarray(z["cg_iters"]).mean() * 1.05)
+    with pytest.raises(ValueError, match="inner_seed"):
+        make_simulate_fn(problem, dtype=jnp.float32, f64_refine=1,
+                         inner_seed="prev")
+
+
 def test_refine_validation():
     problem, _ = g._tiny_flagship(size_scale=16.0)
     with pytest.raises(ValueError, match="float32"):
