@@ -63,17 +63,17 @@ def line_couplings(A: jnp.ndarray, sf: jnp.ndarray, axis: int):
 
 
 def _shift(v: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
-    """v shifted by d along axis, zeros shifted in (v[i] <- v[i+d])."""
-    n = v.shape[axis]
-    pad = [(0, 0)] * v.ndim
-    sl = [slice(None)] * v.ndim
-    if d > 0:
-        pad[axis] = (0, d)
-        sl[axis] = slice(d, d + n)
-    else:
-        pad[axis] = (-d, 0)
-        sl[axis] = slice(0, n)
-    return jnp.pad(v, pad)[tuple(sl)]
+    """v shifted by d along axis, zeros shifted in (v[i] <- v[i+d]).
+
+    Implemented as a single lax.pad with a negative low pad (crop d, append
+    d zeros for d>0, and the mirror for d<0) rather than jnp.pad + slice:
+    one XLA op, and it sidesteps a jaxlib CPU heap corruption observed with
+    the pad-then-slice composition on narrow x64 arrays (eager positive
+    shift of a (64, 4) f64 array along axis -2 corrupts the allocator after
+    a few dozen dispatches — reproduced on jaxlib in this environment)."""
+    cfg = [(0, 0, 0)] * v.ndim
+    cfg[axis % v.ndim] = (-d, d, 0)
+    return jax.lax.pad(v, jnp.zeros((), v.dtype), cfg)
 
 
 def pcr_factor(l: jnp.ndarray, u: jnp.ndarray, axis: int = -1):
@@ -109,6 +109,48 @@ def pcr_apply(levels, d: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return d
 
 
+def pcr_fold(levels, axis: int = -1):
+    """Fold the per-level diagonal scales out of a PCR factorization.
+
+    The raw rhs phase is d' = inv_a_k · (d − l_k d₋ − u_k d₊): three factor
+    planes per level. Diagonals commute through the shift operators by
+    rescaling the coefficients — with g_k = ∏_{j<k} inv_a_j,
+
+        l~_k = l_k · S₋(g_k) / g_k,   u~_k = u_k · S₊(g_k) / g_k,
+
+    the apply becomes e' = e − l~_k e₋ − u~_k e₊ per level and one final
+    x = g_K · e: TWO factor planes per level plus one diagonal plane —
+    exactly the same operator in exact arithmetic (measured f32 deviation
+    actually *smaller* than the 3-plane form on the flagship operator),
+    ~30% less factor traffic per application. Returns
+    ([(l~_k, u~_k), ...], g_K); g_K is None for a zero-level (N=1)
+    factorization, where the apply is the identity.
+    """
+    if not levels:
+        return [], None
+    g = jnp.ones_like(levels[0][0])
+    out = []
+    s = 1
+    for l_k, u_k, inv_a in levels:
+        gsafe = jnp.where(g != 0, g, 1.0)
+        out.append((l_k * _shift(g, -s, axis) / gsafe,
+                    u_k * _shift(g, s, axis) / gsafe))
+        g = inv_a * g
+        s *= 2
+    return out, g
+
+
+def pcr_apply_folded(levels2, g: jnp.ndarray, d: jnp.ndarray,
+                     axis: int = -1) -> jnp.ndarray:
+    """Apply a folded factorization (:func:`pcr_fold`): K two-plane levels
+    and one final diagonal multiply."""
+    s = 1
+    for l_k, u_k in levels2:
+        d = d - l_k * _shift(d, -s, axis) - u_k * _shift(d, s, axis)
+        s *= 2
+    return d if g is None else g * d
+
+
 def line_preconditioner(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray,
                         axis: int = -1):
     """Build the r-line (axis=-1) or z-line (axis=-2) block-Jacobi
@@ -124,10 +166,11 @@ def line_preconditioner(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray,
     sf = s * free
     l, u = line_couplings(A, sf, axis)
     levels = pcr_factor(l, u, axis=axis)
+    levels2, g = pcr_fold(levels, axis=axis)
     fm = free
 
     def pre(r):
-        return pcr_apply(levels, r, axis=axis) * fm
+        return pcr_apply_folded(levels2, g, r, axis=axis) * fm
 
     pre.levels = levels
     return pre

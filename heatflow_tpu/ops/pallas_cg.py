@@ -56,7 +56,8 @@ def _smem_whole(shape):
 def fits_in_vmem(nz: int, nr: int, dtype=jnp.float32,
                  n_points: int = 7, extra_planes: int = 0) -> bool:
     """``extra_planes``: additional solution-sized VMEM planes the kernel
-    will hold (e.g. 3·ceil(log2(Nr)) for the r-line PCR factors)."""
+    will hold (e.g. :func:`rline_extra_planes` for the folded r-line PCR
+    factors)."""
     bytes_per = jnp.dtype(dtype).itemsize
     working_set = (n_points + 6 + extra_planes) * nz * nr * bytes_per
     return working_set < VMEM_BUDGET
@@ -126,37 +127,46 @@ def _shift_lane(v: jnp.ndarray, d: int) -> jnp.ndarray:
 
 
 def _pcr_precond(pcr_ref, rr, n_levels: int):
-    """r-line block-Jacobi application from precomputed PCR levels resident
-    in VMEM: n_levels unrolled shifted multiply-add passes (no reductions,
-    no gathers — see ops/linesolve.py for the factorization)."""
+    """r-line block-Jacobi application from precomputed FOLDED PCR levels
+    resident in VMEM (layout: rows 2k/2k+1 = the level-k rescaled lower /
+    upper couplings, row 2·n_levels = the accumulated diagonal — see
+    linesolve.pcr_fold): n_levels unrolled two-plane shifted multiply-add
+    passes plus one final diagonal multiply (no reductions, no gathers).
+    One factor plane fewer per level than the raw inv_a form — ~30% less
+    factor traffic in the hot per-iteration path."""
     d = rr
     s = 1
     for k in range(n_levels):
-        d = (d - pcr_ref[k, 0] * _shift_lane(d, -s)
-             - pcr_ref[k, 1] * _shift_lane(d, s)) * pcr_ref[k, 2]
+        d = (d - pcr_ref[2 * k] * _shift_lane(d, -s)
+             - pcr_ref[2 * k + 1] * _shift_lane(d, s))
         s *= 2
-    return d
+    return pcr_ref[2 * n_levels] * d
 
 
 def _rline_factor_into(C, sm, scr_ref, n_levels: int):
     """In-kernel PCR factorization of the r-line tridiagonal part of the
-    scaled operator sm·C·sm into VMEM scratch (layout matches pcr_pack /
-    _pcr_precond). Costs ~n_levels shifted multiply-add passes — about
-    three CG iterations' worth, once per solve, so per-config factoring in
-    the batched sweep kernels is essentially free (no per-config VMEM
-    residency, unlike passing precomputed factors)."""
+    scaled operator sm·C·sm into VMEM scratch, in the FOLDED layout of
+    :func:`_pcr_precond` / linesolve.pcr_fold ((2L+1, Nz, Nr): two
+    rescaled coupling planes per level + the accumulated diagonal). Costs
+    ~n_levels shifted multiply-add passes — about three CG iterations'
+    worth, once per solve, so per-config factoring in the batched sweep
+    kernels is essentially free (no per-config VMEM residency, unlike
+    passing precomputed factors)."""
     u = sm * C[3] * _shift_lane(sm, 1)
     l = sm * C[4] * _shift_lane(sm, -1)
+    g = jnp.ones_like(l)
     s = 1
     for k in range(n_levels):
         alpha = 1.0 - l * _shift_lane(u, -s) - u * _shift_lane(l, s)
         inv_a = 1.0 / alpha
-        scr_ref[k, 0] = l
-        scr_ref[k, 1] = u
-        scr_ref[k, 2] = inv_a
+        ginv = 1.0 / jnp.where(g != 0, g, 1.0)
+        scr_ref[2 * k] = l * _shift_lane(g, -s) * ginv
+        scr_ref[2 * k + 1] = u * _shift_lane(g, s) * ginv
         l, u = (-l * _shift_lane(l, -s) * inv_a,
                 -u * _shift_lane(u, s) * inv_a)
+        g = inv_a * g
         s *= 2
+    scr_ref[2 * n_levels] = g
 
 
 def rline_levels(nr: int) -> int:
@@ -167,6 +177,13 @@ def rline_levels(nr: int) -> int:
         L += 1
         s *= 2
     return L
+
+
+def rline_extra_planes(nr: int) -> int:
+    """Solution-sized VMEM planes held by the folded r-line PCR factors
+    (2 coupling planes per level + 1 accumulated diagonal) — feed to the
+    ``extra_planes`` argument of :func:`fits_in_vmem`."""
+    return 2 * rline_levels(nr) + 1
 
 
 def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
@@ -187,9 +204,9 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
     ~√d fewer iterations, amortizing the per-iteration reduction latency.
 
     pcr_levels > 0 preconditions with the r-line block-Jacobi PCR factors
-    (passed as a (L, 3, Nz, Nr) VMEM operand) — the measured 6-8x
-    iteration cut on DAC operators at ~3-4 applies' worth of reduction-free
-    VPU work per application (BENCHMARKS.md).
+    (passed as a folded (2L+1, Nz, Nr) VMEM operand, see pcr_pack) — the
+    measured 6-8x iteration cut on DAC operators at ~3 applies' worth of
+    reduction-free VPU work per application (BENCHMARKS.md).
     """
     if pcr_levels > 0:
         pcr_ref, x_ref, it_ref = rest
@@ -287,13 +304,13 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
     sm·A·sm. Returns (x, iters). b and x0 must vanish at constrained dofs;
     sm = rsqrt(diag(A)) * free. ``interpret=True`` runs the Pallas
     interpreter (CPU testing). ``cheb_degree>0`` preconditions with an
-    in-kernel Chebyshev polynomial; ``pcr`` (a (L, 3, Nz, Nr) array of
-    r-line PCR factors, see :func:`pcr_pack`) preconditions with the
+    in-kernel Chebyshev polynomial; ``pcr`` (a folded (2L+1, Nz, Nr) array
+    of r-line PCR factors, see :func:`pcr_pack`) preconditions with the
     VMEM-resident r-line block-Jacobi solve — mutually exclusive with
     ``cheb_degree``. Stopping is on the true residual in both cases."""
     nz, nr = b.shape
     rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
-    pcr_levels = 0 if pcr is None else int(pcr.shape[0])
+    pcr_levels = 0 if pcr is None else (int(pcr.shape[0]) - 1) // 2
     if pcr_levels and cheb_degree:
         raise ValueError("pcr and cheb_degree are mutually exclusive")
     if cheb_degree > 0:
@@ -322,7 +339,7 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
             flops=maxiter * 24 * nz * nr // 4,
-            bytes_accessed=(8 + 3 + 3 * pcr_levels) * nz * nr * 4,
+            bytes_accessed=(8 + 3 + 2 * pcr_levels + 1) * nz * nr * 4,
             transcendentals=0),
         interpret=interpret,
     )(*operands)
@@ -331,13 +348,16 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
 
 def pcr_pack(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray
              ) -> jnp.ndarray:
-    """Precompute the r-line PCR factor stack for :func:`cg_vmem_tol`:
-    (L, 3, Nz, Nr) with planes (l_k, u_k, inv_alpha_k) per level. Runs at
-    XLA level once per transient (the operator is constant across steps)."""
-    from heatflow_tpu.ops.linesolve import line_couplings, pcr_factor
+    """Precompute the FOLDED r-line PCR factor stack for
+    :func:`cg_vmem_tol`: (2L+1, Nz, Nr) — rows 2k/2k+1 are level k's
+    rescaled lower/upper couplings, the last row the accumulated diagonal
+    (linesolve.pcr_fold). Runs at XLA level once per transient (the
+    operator is constant across steps)."""
+    from heatflow_tpu.ops.linesolve import (line_couplings, pcr_factor,
+                                            pcr_fold)
     l, u = line_couplings(A, s * free, -1)
-    levels = pcr_factor(l, u, axis=-1)
-    return jnp.stack([jnp.stack(lv) for lv in levels])
+    levels2, g = pcr_fold(pcr_factor(l, u, axis=-1), axis=-1)
+    return jnp.stack([p for lv in levels2 for p in lv] + [g])
 
 
 def _xla_apply_abs(A, v):
@@ -375,10 +395,10 @@ def fits_in_vmem_batched(nz: int, nr: int, dtype=jnp.float32,
                          n_points: int = 7, rline: bool = False) -> bool:
     """Working set of the batched sweep kernel: shared A0+K_var
     (2·n_points planes), the per-config combined operator (n_points), and
-    ~6 solution-sized vectors; ``rline`` adds the in-kernel PCR scratch
-    (3·ceil(log2(Nr)) planes — _rline_factor_into)."""
+    ~6 solution-sized vectors; ``rline`` adds the in-kernel folded PCR
+    scratch (2·ceil(log2(Nr))+1 planes — _rline_factor_into)."""
     bytes_per = jnp.dtype(dtype).itemsize
-    extra = 3 * rline_levels(nr) if rline else 0
+    extra = rline_extra_planes(nr) if rline else 0
     return (3 * n_points + 6 + extra) * nz * nr * bytes_per < VMEM_BUDGET
 
 
@@ -480,7 +500,7 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, Kv_ref, sm_ref, b_ref,
 
     if rline:
         (scr_ref,) = rest
-        n_lv = scr_ref.shape[0]
+        n_lv = (scr_ref.shape[0] - 1) // 2
         _rline_factor_into(C, sm, scr_ref, n_lv)
         precond = lambda rr: _pcr_precond(scr_ref, rr, n_lv)
     else:
@@ -553,7 +573,7 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                            memory_space=pltpu.VMEM)
     shared = pl.BlockSpec((npts, nz, nr), _imap_shared,
                           memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((rline_levels(nr), 3, nz, nr), b.dtype)] \
+    scratch = [pltpu.VMEM((rline_extra_planes(nr), nz, nr), b.dtype)] \
         if rline else []
     x, it = pl.pallas_call(
         functools.partial(_sweep_cg_tol_kernel, maxiter=maxiter,

@@ -161,10 +161,9 @@ def make_simulate_fn(problem: Problem2D,
 
     use_vmem = False
     if solver in ("vmem", "auto"):
-        import math
-        from heatflow_tpu.ops.pallas_cg import fits_in_vmem
-        extra = (3 * math.ceil(math.log2(max(2, nr)))
-                 if precondition == "rline" else 0)
+        from heatflow_tpu.ops.pallas_cg import (fits_in_vmem,
+                                                rline_extra_planes)
+        extra = rline_extra_planes(nr) if precondition == "rline" else 0
         use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
     if solver == "vmem" and not use_vmem:
         raise ValueError(

@@ -147,10 +147,9 @@ def auto_selects_vmem(mesh, dtype, precondition="jacobi") -> bool:
     if overlay is None or jax.default_backend() != "tpu" \
             or jnp.dtype(dtype) != jnp.float32:
         return False
-    import math
-    from heatflow_tpu.ops.pallas_cg import fits_in_vmem
+    from heatflow_tpu.ops.pallas_cg import fits_in_vmem, rline_extra_planes
     oshape = tuple(int(s) for s in overlay["shape"])
-    extra = (3 * math.ceil(math.log2(max(2, oshape[1])))
+    extra = (rline_extra_planes(oshape[1])
              if precondition == "rline" else 0)
     return fits_in_vmem(*oshape, dtype, n_points=9, extra_planes=extra)
 
@@ -240,10 +239,10 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         if overlay is None:
             raise ValueError("solver='vmem' needs a grid-overlay mesh "
                              "(the VMEM kernel is stencil-form only)")
-        import math
-        from heatflow_tpu.ops.pallas_cg import fits_in_vmem
+        from heatflow_tpu.ops.pallas_cg import (fits_in_vmem,
+                                                rline_extra_planes)
         oshape0 = tuple(int(s) for s in overlay["shape"])
-        extra = (3 * math.ceil(math.log2(max(2, oshape0[1])))
+        extra = (rline_extra_planes(oshape0[1])
                  if precondition == "rline" else 0)
         if not fits_in_vmem(*oshape0, dtype, n_points=9, extra_planes=extra):
             raise ValueError("problem exceeds the VMEM budget")
