@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Measure arbitrary flagship speed-accuracy frontier points.
+
+One row per (rtol, f64_refine, warm_start, precondition, solver) combo:
+warm steps/s (best of --reps calls of the memoized simulate fn) plus
+full-trace watcher error vs the cached f64 rtol-1e-11 ground truth
+(benchmarks/.flagship_truth_f64.npz — build it once with
+`python benchmarks/expt_seed_order.py --truth-only`).
+
+This is the harness behind the BENCHMARKS.md frontier table rows; the
+protocol matches bench.py (251x1107 geballe_with_diamond mesh, 100 steps,
+watcher sampling each step).
+
+Usage examples:
+  python benchmarks/bench_frontier.py --rtols 1e-3,1e-4,1e-5   # pure f32
+  python benchmarks/bench_frontier.py --rtols 1e-4 --refine 1  # official
+  python benchmarks/bench_frontier.py --rtols 1e-3 --refine 2 --ws extrapolate
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rtols", default="1e-4")
+    ap.add_argument("--refine", type=int, default=0)
+    ap.add_argument("--ws", default="extrapolate")
+    ap.add_argument("--precondition", default="rline")
+    ap.add_argument("--solver", default="auto")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if args.refine:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from bench import build_flagship
+    from benchmarks.expt_seed_order import get_truth
+    from heatflow_tpu.sim.stepper import make_simulate_fn
+
+    problem = build_flagship()
+    truth, _ = get_truth(problem)
+
+    for rtol in (float(r) for r in args.rtols.split(",")):
+        fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
+                              maxiter=8000, record_gradient=False,
+                              record_fields=False, rtol_wrt="r0",
+                              solver=args.solver,
+                              precondition=args.precondition,
+                              warm_start=args.ws,
+                              f64_refine=args.refine)
+        best = np.inf
+        for _ in range(args.reps):
+            t0 = time.time()
+            ys = fn()
+            ys["final_u"].block_until_ready()
+            best = min(best, time.time() - t0)
+        watch = np.asarray(ys["watch"])
+        iters = np.asarray(ys["cg_iters"])
+        err = watch - truth
+        print(json.dumps({
+            "rtol": rtol, "refine": args.refine, "ws": args.ws,
+            "precondition": args.precondition,
+            "steps_per_sec": round(problem.num_steps / best, 1),
+            "iters_mean": round(float(iters.mean()), 1),
+            "iters_max": int(iters.max()),
+            "oside_peak_K": round(float(np.abs(err[:, 1]).max()), 4),
+            "oside_rms_K": round(float(np.sqrt((err[:, 1] ** 2).mean())), 4),
+            "pside_peak_K": round(float(np.abs(err[:, 0]).max()), 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
