@@ -43,8 +43,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    if args.refine:
-        jax.config.update("jax_enable_x64", True)
+    # x64 unconditionally: get_truth() computes the f64 rtol-1e-11 ground
+    # truth on first use — without x64 it would silently degrade to f32 and
+    # poison the cached truth for every later measurement
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from bench import build_flagship

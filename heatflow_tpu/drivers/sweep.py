@@ -77,10 +77,10 @@ def _resolve_solver(solver, mesh_w, *, dtype, precondition, f64_refine,
         overlay = getattr(mesh_w, "grid_overlay", None)
         if overlay is None:
             return "xla"     # the VMEM kernels are stencil-form only
-        import math
-        from heatflow_tpu.ops.pallas_cg import fits_in_vmem
+        from heatflow_tpu.ops.pallas_cg import (fits_in_vmem,
+                                                rline_extra_planes)
         oshape = tuple(int(s) for s in overlay["shape"])
-        extra = (3 * math.ceil(math.log2(max(2, oshape[1])))
+        extra = (rline_extra_planes(oshape[1])
                  if precondition == "rline" else 0)
         return "vmem" if fits_in_vmem(*oshape, dtype, n_points=9,
                                       extra_planes=extra) else "xla"

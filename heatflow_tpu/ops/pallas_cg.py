@@ -339,7 +339,8 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
             flops=maxiter * 24 * nz * nr // 4,
-            bytes_accessed=(8 + 3 + 2 * pcr_levels + 1) * nz * nr * 4,
+            bytes_accessed=(8 + 3 + (2 * pcr_levels + 1 if pcr_levels
+                                     else 0)) * nz * nr * 4,
             transcendentals=0),
         interpret=interpret,
     )(*operands)

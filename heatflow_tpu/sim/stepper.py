@@ -121,6 +121,8 @@ def make_simulate_fn(problem: Problem2D,
         # per-pass f64 residual — increment-relative by construction), so
         # the outer rtol_wrt has no effect; normalize it out of the key
         rtol_wrt = "b"
+    if inner_seed not in ("zero", "carry"):
+        raise ValueError(f"unknown inner_seed {inner_seed!r}")
     if not f64_refine:
         inner_seed = "zero"  # only meaningful for the refined inner solves
     cache_key = ("simulate_fn", jnp.dtype(dtype).name, rtol, maxiter,
@@ -132,8 +134,6 @@ def make_simulate_fn(problem: Problem2D,
         return cache[cache_key]
     if warm_start not in ("previous", "extrapolate", "extrapolate2"):
         raise ValueError(f"unknown warm_start {warm_start!r}")
-    if inner_seed not in ("zero", "carry"):
-        raise ValueError(f"unknown inner_seed {inner_seed!r}")
     if f64_refine:
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("f64_refine is the mixed-precision mode: "

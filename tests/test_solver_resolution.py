@@ -163,3 +163,45 @@ def test_sweep_rtol_defaults_width_independent(tmp_path, monkeypatch):
         dtype=jnp.float32, record_gradient=True, precondition="jacobi")
     assert len(results) == 2 and not failed
     assert seen == [1e-5, 1e-5]
+
+
+def test_sweep_resolver_agrees_with_auto_selects_vmem_on_rline_overlay(
+        monkeypatch):
+    """6. The sweep driver's _resolve_solver and unstructured
+    auto_selects_vmem must compute the rline VMEM working set with the
+    same formula (rline_extra_planes — the folded 2L+1 layout). The
+    drifted 3L estimate made the driver pick the XLA engine for overlay
+    shapes in the 2L+1-fits/3L-doesn't window while run2d's resolution
+    picked VMEM for the identical problem."""
+    from heatflow_tpu.drivers.sweep import _resolve_solver
+    from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+    from heatflow_tpu.ops.pallas_cg import VMEM_BUDGET
+    from heatflow_tpu.sim.unstructured import auto_selects_vmem
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    nr = 1107                      # flagship lane count: L=11 PCR levels
+    # a z-extent inside the window where 2L+1 extra planes fit the VMEM
+    # budget but the old 3L estimate does not ((9+6+23) vs (9+6+33)
+    # planes of nz*nr*4 bytes)
+    lo = VMEM_BUDGET // ((9 + 6 + 33) * nr * 4)
+    hi = VMEM_BUDGET // ((9 + 6 + 23) * nr * 4)
+    assert hi > lo + 1, "window vanished — recompute the plane counts"
+    nz = (lo + 1 + hi) // 2
+    mesh = object.__new__(UnstructuredMesh)
+    mesh.grid_overlay = {"shape": (nz, nr)}
+
+    assert auto_selects_vmem(mesh, jnp.float32, precondition="rline")
+    assert _resolve_solver("auto", mesh, dtype=jnp.float32,
+                           precondition="rline", f64_refine=0,
+                           record_gradient=True) == "vmem"
+
+
+def test_inner_seed_validated_even_without_refine(tiny_problem):
+    """7. inner_seed typos raise even when f64_refine=0 (the normalization
+    to 'zero' used to run before validation, silently accepting any
+    string whenever refinement was off)."""
+    _cfg, problem = tiny_problem
+    with pytest.raises(ValueError, match="inner_seed"):
+        make_simulate_fn(problem, dtype=jnp.float32, f64_refine=0,
+                         inner_seed="cary", maxiter=7703)
