@@ -70,20 +70,17 @@ def _resolve_solver(solver, mesh_w, *, dtype, precondition, f64_refine,
         return solver
     if f64_refine and not record_gradient:
         return "vmem"
+    if precondition == "mg":
+        # the VMEM kernels have no mg V-cycle — 'auto' honors an explicit
+        # mg request on the XLA path instead of crashing the vmem maker
+        return "xla"
     if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
         return "xla"
     from heatflow_tpu.mesh.msh_io import UnstructuredMesh
     if isinstance(mesh_w, UnstructuredMesh):
-        overlay = getattr(mesh_w, "grid_overlay", None)
-        if overlay is None:
-            return "xla"     # the VMEM kernels are stencil-form only
-        from heatflow_tpu.ops.pallas_cg import (fits_in_vmem,
-                                                rline_extra_planes)
-        oshape = tuple(int(s) for s in overlay["shape"])
-        extra = (rline_extra_planes(oshape[1])
-                 if precondition == "rline" else 0)
-        return "vmem" if fits_in_vmem(*oshape, dtype, n_points=9,
-                                      extra_planes=extra) else "xla"
+        from heatflow_tpu.sim.unstructured import auto_selects_vmem
+        return ("vmem" if auto_selects_vmem(mesh_w, dtype, precondition)
+                else "xla")
     from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
     nzw, nrw = mesh_w.shape
     return ("vmem" if fits_in_vmem_batched(

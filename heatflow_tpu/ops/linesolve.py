@@ -172,5 +172,4 @@ def line_preconditioner(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray,
     def pre(r):
         return pcr_apply_folded(levels2, g, r, axis=axis) * fm
 
-    pre.levels = levels
     return pre

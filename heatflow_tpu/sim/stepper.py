@@ -134,6 +134,8 @@ def make_simulate_fn(problem: Problem2D,
         return cache[cache_key]
     if warm_start not in ("previous", "extrapolate", "extrapolate2"):
         raise ValueError(f"unknown warm_start {warm_start!r}")
+    if precondition not in ("jacobi", "mg", "rline", "zline"):
+        raise ValueError(f"unknown precondition {precondition!r}")
     if f64_refine:
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("f64_refine is the mixed-precision mode: "
@@ -172,13 +174,13 @@ def make_simulate_fn(problem: Problem2D,
     if solver == "auto" and (jax.default_backend() != "tpu"
                              or jnp.dtype(dtype) != jnp.float32):
         use_vmem = False  # the Pallas kernel is TPU-only, f32-only
-    if use_vmem and precondition == "zline":
+    if use_vmem and precondition in ("zline", "mg"):
         # only 'rline' has an in-kernel PCR; the VMEM solve would silently
-        # drop a zline preconditioner — route zline to the XLA path
+        # drop a zline/mg preconditioner — route them to the XLA path
         if solver == "vmem":
-            raise ValueError("precondition='zline' is not available in the "
-                             "VMEM kernel (only 'rline' has an in-kernel "
-                             "PCR); use solver='xla'")
+            raise ValueError(f"precondition={precondition!r} is not "
+                             "available in the VMEM kernel (only 'rline' "
+                             "has an in-kernel PCR); use solver='xla'")
         use_vmem = False
     if mesh is not None:
         if solver == "vmem":

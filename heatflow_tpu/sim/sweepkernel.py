@@ -265,6 +265,14 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
+    if warm_start not in ("previous", "extrapolate"):
+        # the sweep engines implement the linear seed only ('extrapolate2'
+        # exists on the structured stepper alone) — raise instead of
+        # silently degrading a typo'd/unsupported seed to 'previous'
+        raise ValueError(f"unknown warm_start {warm_start!r} for sweep "
+                         "engines (use 'previous' or 'extrapolate')")
+    if precondition not in ("jacobi", "mg", "rline", "zline"):
+        raise ValueError(f"unknown precondition {precondition!r}")
     if f64_refine:
         # mixed-precision sweeps: f64-residual refinement around the f32
         # batched VMEM correction solves (vmem_sweep_scan docstring)
@@ -341,6 +349,14 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             vcycle = make_vcycle(level_ops, nu_pre=1, nu_post=1)
             inv_s = 1.0 / jnp.where(s > 0, s, 1.0)
             pre = lambda r: inv_s * vcycle(inv_s * r)
+        elif precondition in ("rline", "zline"):
+            # per-config line factorization (the operator depends on
+            # sample_k) — ~log2(N) elementwise passes, negligible against
+            # a transient; vmaps over the config batch like the rest
+            from heatflow_tpu.ops.linesolve import line_preconditioner
+            A_full = ops["A0"] + dk * ops["K_var"]
+            pre = line_preconditioner(
+                A_full, s, free, axis=-1 if precondition == "rline" else -2)
 
         amp_offset = ops["heat_T"][0] - ic
         coeff = jnp.asarray(-4.0 * np.log(2.0), wdt) / (fwhm * fwhm)
@@ -529,6 +545,9 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
     (vmem_sweep_scan(record=...)) — the XLA recording path re-streams the
     operator from HBM every CG iteration and is ~4-6x slower at the same
     artifacts."""
+    if warm_start not in ("previous", "extrapolate"):
+        raise ValueError(f"unknown warm_start {warm_start!r} for sweep "
+                         "engines (use 'previous' or 'extrapolate')")
     if f64_refine:
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("f64_refine is the mixed-precision mode: "

@@ -203,6 +203,12 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
+    if warm_start not in ("previous", "extrapolate"):
+        # the unstructured stepper implements the linear seed only
+        # ('extrapolate2' exists on the structured stepper alone) — raise
+        # instead of silently degrading to 'previous'
+        raise ValueError(f"unknown warm_start {warm_start!r} (use "
+                         "'previous' or 'extrapolate')")
     if f64_refine:
         # mixed-precision iterative refinement — same semantics as
         # stepper.make_simulate_fn(f64_refine=N): f64 operator residuals
@@ -742,6 +748,9 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
+    if warm_start not in ("previous", "extrapolate"):
+        raise ValueError(f"unknown warm_start {warm_start!r} for sweep "
+                         "engines (use 'previous' or 'extrapolate')")
     tag_order = sorted(problem.mesh.material_tags.items(),
                        key=lambda kv: kv[1])
     names = [nm for nm, _ in tag_order]
@@ -825,7 +834,10 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
                       jnp.asarray(fwhm, wdt), u0,
                       jnp.asarray(0.0, wdt))
         if record_gradient:
-            out["times"] = np.asarray(out["times"][0])
+            # host-side times: the device copy is sharded over configs, and
+            # row 0 is not addressable on every process of a multihost run
+            # (same fix as the structured recording maker)
+            out["times"] = np.arange(1, problem.num_steps + 1) * problem.dt
             return out
         return out[0]
 

@@ -130,6 +130,24 @@ def test_unstructured_rline_requires_vmem_engine(tmp_path):
     assert resolve_recording_precondition(
         True, jnp.float32, unstructured_xla=True) == "jacobi"
 
+    # the unstructured stepper/sweep makers implement the linear seed
+    # only — unknown/unsupported warm starts raise instead of silently
+    # degrading to 'previous' (review-pass 3)
+    from heatflow_tpu.sim.unstructured import make_sweep_fn_unstructured
+    with pytest.raises(ValueError, match="warm_start"):
+        make_simulate_fn_unstructured(problem, warm_start="extrapolate2")
+    with pytest.raises(ValueError, match="warm_start"):
+        make_sweep_fn_unstructured(problem, warm_start="extrapolate2")
+
+    # recording outputs carry host-side times (a sharded device row is not
+    # addressable on every process of a multihost run)
+    fn = make_sweep_fn_unstructured(problem, dtype=jnp.float64, rtol=1e-8,
+                                    record_gradient=True)
+    out = fn(np.array([3.0]), np.array([4e-6]))
+    assert isinstance(out["times"], np.ndarray) and out["times"].ndim == 1
+    np.testing.assert_allclose(
+        out["times"], np.arange(1, problem.num_steps + 1) * problem.dt)
+
 
 def test_sweep_rtol_defaults_width_independent(tmp_path, monkeypatch):
     """Recording sweeps stop at rtol 1e-5 (the measured accuracy knee) for
@@ -205,3 +223,83 @@ def test_inner_seed_validated_even_without_refine(tiny_problem):
     with pytest.raises(ValueError, match="inner_seed"):
         make_simulate_fn(problem, dtype=jnp.float32, f64_refine=0,
                          inner_seed="cary", maxiter=7703)
+
+
+def test_mg_vmem_raises_auto_falls_back(tiny_problem, monkeypatch):
+    """Review-pass 3: the VMEM kernel has no mg V-cycle — an explicit
+    ``solver='vmem'`` errors instead of silently building (and dropping)
+    the hierarchy, and ``'auto'`` routes mg to the XLA path which applies
+    it (previously run2d --precondition mg under the 'auto' default ran
+    unpreconditioned on TPU f32)."""
+    _cfg, problem = tiny_problem
+    with pytest.raises(ValueError, match="mg"):
+        make_simulate_fn(problem, dtype=jnp.float32, solver="vmem",
+                         precondition="mg", maxiter=7707)
+
+    import heatflow_tpu.sim.stepper as stepper_mod
+    monkeypatch.setattr(stepper_mod.jax, "default_backend", lambda: "tpu")
+    fn = make_simulate_fn(problem, dtype=jnp.float32, solver="auto",
+                          precondition="mg", rtol=1e-4, maxiter=7708)
+    monkeypatch.undo()
+    ys = fn()
+    assert np.isfinite(np.asarray(ys["watch"])).all()
+
+
+def test_sweep_driver_resolver_routes_mg_to_xla(monkeypatch):
+    """--precondition mg under the sweep driver's solver='auto' default
+    must pick the XLA engine (the vmem maker rejects mg), not crash."""
+    from heatflow_tpu.drivers.sweep import _resolve_solver
+
+    class _GridMesh:
+        shape = (16, 32)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    common = dict(dtype=jnp.float32, f64_refine=0, record_gradient=False)
+    assert _resolve_solver("auto", _GridMesh(),
+                           precondition="jacobi", **common) == "vmem"
+    assert _resolve_solver("auto", _GridMesh(),
+                           precondition="mg", **common) == "xla"
+
+
+def test_sweep_xla_rline_is_applied(tiny_problem):
+    """Review-pass 3: the plain sweep maker's XLA path used to silently
+    ignore precondition='rline' (only mg built a ``pre``). Now the line
+    preconditioner is factored per config: at a tiny fixed budget the
+    preconditioned traces must DIFFER from jacobi's (it actually runs),
+    and at tight tolerance they must agree with the converged solution."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    _cfg, problem = tiny_problem
+    ks = np.array([3.0, 9.0])
+    fs = np.array([4e-6, 4e-6])
+    f_j3 = make_sweep_fn(problem, dtype=jnp.float64, solver="xla",
+                         fixed_iters=3, precondition="jacobi")
+    f_r3 = make_sweep_fn(problem, dtype=jnp.float64, solver="xla",
+                         fixed_iters=3, precondition="rline")
+    f_jt = make_sweep_fn(problem, dtype=jnp.float64, solver="xla",
+                         rtol=1e-12, maxiter=5000, precondition="jacobi")
+    f_rt = make_sweep_fn(problem, dtype=jnp.float64, solver="xla",
+                         rtol=1e-12, maxiter=5000, precondition="rline")
+    tj3 = np.asarray(f_j3(ks, fs))
+    tr3 = np.asarray(f_r3(ks, fs))
+    tjt = np.asarray(f_jt(ks, fs))
+    trt = np.asarray(f_rt(ks, fs))
+    assert not np.allclose(tr3, tj3)          # the preconditioner runs
+    rng = np.ptp(tjt) or 1.0
+    assert np.max(np.abs(trt - tjt)) / rng < 1e-8   # and solves correctly
+
+
+def test_sweep_makers_reject_unknown_warm_start(tiny_problem):
+    """Review-pass 3: the sweep engines implement 'previous'/'extrapolate'
+    only; 'extrapolate2' (stepper-only) and typos used to silently degrade
+    to 'previous' — benchmark comparisons would measure the wrong seed."""
+    from heatflow_tpu.sim.sweepkernel import (make_sweep_fn,
+                                              make_sweep_fn_recording)
+    _cfg, problem = tiny_problem
+    with pytest.raises(ValueError, match="warm_start"):
+        make_sweep_fn(problem, warm_start="extrapolate2")
+    with pytest.raises(ValueError, match="warm_start"):
+        make_sweep_fn(problem, warm_start="extrapolat")
+    with pytest.raises(ValueError, match="warm_start"):
+        make_sweep_fn_recording(problem, warm_start="extrapolat")
+    with pytest.raises(ValueError, match="precondition"):
+        make_sweep_fn(problem, precondition="r-line")
