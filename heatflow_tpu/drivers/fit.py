@@ -54,10 +54,18 @@ def fit_uncertainty(objective, k: float, fwhm: float, *, dtype=jnp.float64):
     (k_stderr, fwhm_stderr, correlation)."""
     theta = jnp.asarray([k, fwhm], dtype)
     res_fn = lambda th: objective.residuals(th[0], th[1])
-    # jit the value+Jacobian pair: untraced jacfwd re-runs the full
+
+    # jit the value+Jacobian pair (untraced jacfwd re-runs the full
     # transient eagerly per tangent — minutes at flagship scale through
-    # remote compile; traced it is one compiled program
-    rJ_fn = jax.jit(lambda th: (res_fn(th), jax.jacfwd(res_fn)(th)))
+    # remote compile); linearize shares ONE primal transient between the
+    # residual value and both tangent solves (res_fn + jacfwd would run it
+    # twice unless XLA happens to CSE the duplicated scan)
+    @jax.jit
+    def rJ_fn(th):
+        r, jvp = jax.linearize(res_fn, th)
+        J = jax.vmap(jvp)(jnp.eye(2, dtype=dtype))      # (2, N) rows
+        return r, J.T
+
     r_dev, J_dev = rJ_fn(theta)
     r, J = np.asarray(r_dev), np.asarray(J_dev)        # (N,), (N, 2)
     n, p = len(r), 2

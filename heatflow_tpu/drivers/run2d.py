@@ -190,6 +190,14 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             precondition = resolve_recording_precondition(
                 record_gradient, dtype, unstructured_xla=unstructured_xla)
         if isinstance(mesh, UnstructuredMesh):
+            if z_shards > 1:
+                # z-sharding is wired for the structured stepper only
+                # (make_simulate_fn(mesh=...)); a silent single-chip run
+                # here would contradict the flag the user relied on
+                raise ValueError(
+                    "--z-shards applies to structured meshes only (the "
+                    "unstructured path runs whole problems on one chip); "
+                    "drop the flag or use --mesh-style structured")
             return _run_unstructured(cfg, mesh, output_folder,
                                      watcher_points, write_xdmf,
                                      dtype=dtype, rtol=rtol, maxiter=maxiter,

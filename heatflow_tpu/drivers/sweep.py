@@ -78,8 +78,13 @@ def _resolve_solver(solver, mesh_w, *, dtype, precondition, f64_refine,
         return "xla"
     from heatflow_tpu.mesh.msh_io import UnstructuredMesh
     if isinstance(mesh_w, UnstructuredMesh):
-        from heatflow_tpu.sim.unstructured import auto_selects_vmem
-        return ("vmem" if auto_selects_vmem(mesh_w, dtype, precondition)
+        # the SWEEP predicate (batched working set: shared + per-config
+        # stencils), not the single-problem auto_selects_vmem — the gap
+        # between the two budgets would otherwise resolve to an engine the
+        # sweep maker rejects
+        from heatflow_tpu.sim.unstructured import sweep_auto_selects_vmem
+        return ("vmem" if sweep_auto_selects_vmem(mesh_w, dtype,
+                                                  precondition)
                 else "xla")
     from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
     nzw, nrw = mesh_w.shape

@@ -65,6 +65,21 @@ def refine_inner_scale(rn2, floor2, rtol, dtype):
     return rnorm, rtol_eff
 
 
+def refine_inner_seed(seed, rtol_eff):
+    """Zero a carried inner-CG seed on degenerate refinement passes.
+
+    The degenerate stop from :func:`refine_inner_scale` (``rtol_eff=2``)
+    only fires when the inner solve STARTS at the rhs residual — i.e. from
+    a zero seed, where ``||r0|| = ||b|| <= 2·||b||`` at the first check. A
+    carried nonzero seed (``inner_seed='carry'``) puts ``||r0|| ≈ ||A·seed||``
+    far above the target, so the solve would grind the unnormalized
+    f64-roundoff-scale rhs (the exact denormal regime the guard exists to
+    avoid) to maxiter. Gate the seed on the live mask instead."""
+    live = (rtol_eff < 1.0).astype(seed.dtype)
+    return seed * jnp.reshape(live, live.shape + (1,) * (seed.ndim
+                                                         - live.ndim))
+
+
 def pcg(apply_op: Callable[[jnp.ndarray], jnp.ndarray],
         b: jnp.ndarray,
         x0: jnp.ndarray,
@@ -147,9 +162,25 @@ def pcg_solve(apply_op, b, x0, *, precond=None, mask=None, rtol=1e-10,
 
     Constrained dofs must carry zeros in both ``b`` and ``x0`` so the masked
     operator is consistent on the full space.
+
+    ``solve_fn`` below is reused by ``custom_linear_solve`` for the
+    tangent/adjoint systems, whose rhs is derivative-scale — reusing the
+    solution-scale ``x0`` there would (a) waste iterations burning down a
+    huge initial residual and (b) under ``rtol_wrt='r0'`` set the stop
+    target to ``rtol·||rhs − A·x0|| ≈ rtol·||A·x0||``, orders of magnitude
+    above the tangent rhs, stopping those solves immediately and corrupting
+    gradients. The seed is therefore scaled by the rhs/b projection
+    coefficient ⟨rhs, b⟩/⟨b, b⟩: exactly 1 for the primal call (rhs ≡ b —
+    the primal path is bit-identical to seeding with x0), ≈0 for
+    derivative calls, which then start near zero with an rhs-scale stop
+    reference in both ``rtol_wrt`` modes.
     """
+    bb = _dot(b, b)
+    bb_safe = jnp.where(bb > 0, bb, 1.0)
+
     def solve_fn(mv, rhs):
-        return pcg(mv, rhs, x0, precond=precond, mask=mask, rtol=rtol,
+        c = _dot(rhs, b) / bb_safe
+        return pcg(mv, rhs, c * x0, precond=precond, mask=mask, rtol=rtol,
                    atol=atol, maxiter=maxiter, rtol_wrt=rtol_wrt).x
 
     op = (lambda v: apply_op(v) * mask) if mask is not None else apply_op

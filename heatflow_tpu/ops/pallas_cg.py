@@ -476,9 +476,9 @@ def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     )(dks, A0, Kv, sm, b, x0)
 
 
-def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, Kv_ref, sm_ref, b_ref,
-                         x0_ref, x_ref, it_ref, *rest, maxiter: int,
-                         rtol_wrt: str, rline: bool = False):
+def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
+                         rtol_wrt: str, rline: bool = False,
+                         has_kv: bool = True):
     """Tolerance-based per-config solve for the sweep engine: one grid step
     combines this config's operator on-chip and runs the whole while_loop CG
     (stopping rule identical to ops.cg.pcg: ||r|| <= rtol·||b|| for 'b',
@@ -488,10 +488,19 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, Kv_ref, sm_ref, b_ref,
 
     ``rline``: precondition with the r-line block-Jacobi PCR solve,
     factored in-kernel per config into scratch (measured 4-7x iteration
-    cut on DAC operators — ops/linesolve.py)."""
+    cut on DAC operators — ops/linesolve.py).
+
+    ``has_kv=False``: no varying-coefficient stencil (e.g. the recording
+    engine's per-step mass projection, whose operator is config-independent)
+    — the Kv operand is dropped and the solve runs on A0 directly, saving
+    its n_points VMEM planes and HBM streaming per call."""
     b_idx = pl.program_id(0)
-    dk = dk_ref[b_idx]
-    C = A0_ref[:] + dk * Kv_ref[:]
+    if has_kv:
+        Kv_ref, sm_ref, b_ref, x0_ref, x_ref, it_ref, *rest = rest
+        C = A0_ref[:] + dk_ref[b_idx] * Kv_ref[:]
+    else:
+        sm_ref, b_ref, x0_ref, x_ref, it_ref, *rest = rest
+        C = A0_ref[:]
     sm = sm_ref[0]
     b = b_ref[0]
     x = x0_ref[0]
@@ -576,15 +585,20 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                           memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((rline_extra_planes(nr), nz, nr), b.dtype)] \
         if rline else []
+    # Kv=None: config-independent operator (e.g. the recording engine's
+    # mass projection) — drop the varying stencil operand entirely instead
+    # of streaming npts zero planes into VMEM every call
+    kv_ops, kv_specs = ((), ()) if Kv is None else ((Kv,), (shared,))
     x, it = pl.pallas_call(
         functools.partial(_sweep_cg_tol_kernel, maxiter=maxiter,
-                          rtol_wrt=rtol_wrt, rline=rline),
+                          rtol_wrt=rtol_wrt, rline=rline,
+                          has_kv=Kv is not None),
         grid=(B,),
         out_shape=(jax.ShapeDtypeStruct((B, nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((B,), jnp.int32)),
         in_specs=[_smem_whole(dks.shape),
                   _smem_whole(rtol_arr.shape),
-                  shared, shared, per_cfg, per_cfg, per_cfg],
+                  shared, *kv_specs, per_cfg, per_cfg, per_cfg],
         out_specs=(per_cfg,
                    _smem_whole((B,))),
         scratch_shapes=scratch,
@@ -595,7 +609,7 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
             bytes_accessed=(14 + 4 * B) * nz * nr * 4,
             transcendentals=0),
         interpret=interpret,
-    )(dks, rtol_arr, A0, Kv, sm, b, x0)
+    )(dks, rtol_arr, A0, *kv_ops, sm, b, x0)
     return x, it
 
 

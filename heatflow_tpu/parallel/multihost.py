@@ -68,7 +68,8 @@ def run_sweep_multihost(problem, sample_k, fwhm, *, dtype=None,
                         z_shards: int = 1, solver: str = "xla",
                         warm_start: str = "previous",
                         record_gradient: bool = False,
-                        rtol_wrt: str = "b", f64_refine: int = 0):
+                        rtol_wrt: str = "b", f64_refine: int = 0,
+                        precondition: str = "jacobi"):
     """SPMD sweep over all hosts/devices: every process calls this with the
     same arguments; returns the full (B, S, W) traces on every process —
     or, with ``record_gradient=True``, the full artifact dict (watch /
@@ -96,12 +97,19 @@ def run_sweep_multihost(problem, sample_k, fwhm, *, dtype=None,
     fs = pad_to_multiple(fs, nc)
 
     if isinstance(problem, ProblemUnstructured):
+        if num_steps is not None and solver != "vmem":
+            # the unstructured XLA maker has no segment API — silently
+            # running the full transient would break the (B, num_steps, W)
+            # shape contract of time-chunked callers
+            raise ValueError("num_steps on unstructured multihost sweeps "
+                             "needs solver='vmem' (the segmented overlay "
+                             "engine)")
         fn = make_sweep_fn_unstructured(
             problem, dtype=dtype, fixed_iters=fixed_iters, rtol=rtol,
             maxiter=maxiter, warm_start=warm_start, solver=solver,
             record_gradient=record_gradient, rtol_wrt=rtol_wrt,
-            f64_refine=f64_refine,
-            num_steps=num_steps if solver == "vmem" else None, mesh=mesh)
+            f64_refine=f64_refine, precondition=precondition,
+            num_steps=num_steps, mesh=mesh)
         # the jitted cores carry explicit in_shardings, so plain (padded)
         # numpy inputs are placed as global sharded arrays at dispatch
         out = fn(ks, fs)
@@ -109,13 +117,15 @@ def run_sweep_multihost(problem, sample_k, fwhm, *, dtype=None,
         fn = make_sweep_fn_recording(
             problem, dtype=dtype, fixed_iters=fixed_iters, rtol=rtol,
             maxiter=maxiter, warm_start=warm_start, mesh=mesh,
-            rtol_wrt=rtol_wrt, f64_refine=f64_refine)
+            rtol_wrt=rtol_wrt, f64_refine=f64_refine, solver=solver,
+            precondition=precondition)
         out = fn(ks, fs)
     else:
         fn = make_sweep_fn(problem, dtype=dtype, fixed_iters=fixed_iters,
                            rtol=rtol, maxiter=maxiter, num_steps=num_steps,
                            mesh=mesh, solver=solver, warm_start=warm_start,
-                           rtol_wrt=rtol_wrt, f64_refine=f64_refine)
+                           rtol_wrt=rtol_wrt, f64_refine=f64_refine,
+                           precondition=precondition)
         out = fn(distribute_batch(mesh, ks), distribute_batch(mesh, fs))
     if isinstance(out, dict):
         res = {k: gather_to_all(v)[:B] for k, v in out.items()

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from heatflow_tpu.ops.cg import (CGResult, pcg, pcg_fixed,
-                                 refine_inner_scale)
+                                 refine_inner_scale, refine_inner_seed)
 from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
 from heatflow_tpu.sim.problem import Problem2D
 
@@ -379,7 +379,11 @@ def make_simulate_fn(problem: Problem2D,
                 rnorm, rtol_eff = refine_inner_scale(rn2, floor2, rtol,
                                                      dtype)
                 r32 = (r64 / rnorm).astype(dtype)
-                seed = dys[i] if carry_inner else z32
+                # a carried seed must be zeroed on degenerate passes — the
+                # rtol_eff=2 early stop assumes the solve starts AT the rhs
+                # residual (ops.cg.refine_inner_seed)
+                seed = refine_inner_seed(dys[i], rtol_eff) if carry_inner \
+                    else z32
                 if use_vmem:
                     dy, its = cg_vmem_tol(A32, sm32, r32, seed, rtol_eff,
                                           maxiter=maxiter, rtol_wrt="b",

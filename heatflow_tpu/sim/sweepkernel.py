@@ -101,8 +101,7 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
         Mp = record["Mp"].astype(dtype)
         Gr = record["Gr"].astype(dtype)
         s_mp = record["s_mp"].astype(dtype)
-        Kz = jnp.zeros_like(Mp)          # the mass solve has no dk term
-        dks_z = jnp.zeros((B,), dtype)
+        dks_z = jnp.zeros((B,), dtype)   # unused by the Kv-free kernel
         smp_b = jnp.broadcast_to(s_mp[None], (B,) + s_mp.shape)
         apply_Grb = jax.vmap(lambda v: apply_stencil(Gr, v))
         n_bins = len(record["bin_counts"])
@@ -160,8 +159,10 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
         br = s_mp[None] * apply_Grb(Un.astype(dtype))
         GR_seed = 2.0 * GR - GR_pp if extrapolate else GR
         Y0p = GR_seed / s_mp[None]
+        # Kv=None: the mass projection has no varying-coefficient term —
+        # the kernel drops the operand instead of streaming zero planes
         Xp, _pits = cg_vmem_batched_tol(
-            Mp, Kz, dks_z, smp_b, br, Y0p, proj_rtol,
+            Mp, None, dks_z, smp_b, br, Y0p, proj_rtol,
             maxiter=proj_maxiter, interpret=interpret, rtol_wrt="b")
         gr = Xp * s_mp[None]
         vals = gr.reshape(gr.shape[0], -1)[:, record["band_nodes"]]

@@ -154,6 +154,25 @@ def auto_selects_vmem(mesh, dtype, precondition="jacobi") -> bool:
     return fits_in_vmem(*oshape, dtype, n_points=9, extra_planes=extra)
 
 
+def sweep_auto_selects_vmem(mesh, dtype, precondition="jacobi") -> bool:
+    """Would ``solver='auto'`` pick the overlay VMEM engine for a SWEEP on
+    this mesh/dtype? The batched per-config sweep kernel holds the shared
+    A0+K_var stencils plus the per-config combined operator — a strictly
+    larger working set than the single-problem kernel
+    (:func:`auto_selects_vmem`), so the sweep driver must resolve against
+    THIS predicate (the same guard ``_sweep_vmem_unstructured`` enforces);
+    resolving against the single-problem one picks an engine the maker
+    then rejects for shapes in the budget gap."""
+    overlay = getattr(mesh, "grid_overlay", None)
+    if overlay is None or jax.default_backend() != "tpu" \
+            or jnp.dtype(dtype) != jnp.float32:
+        return False
+    from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
+    oshape = tuple(int(s) for s in overlay["shape"])
+    return fits_in_vmem_batched(*oshape, dtype, n_points=9,
+                                rline=precondition == "rline")
+
+
 def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                                   dtype=jnp.float64, rtol=1e-11,
                                   maxiter=20000, fixed_iters=None,
@@ -436,7 +455,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                 outs = {"cg_iters": iters}
             elif differentiable:
                 x = pcg_solve(apply_s, b * free, y0, mask=free, rtol=rtol,
-                              maxiter=maxiter)
+                              maxiter=maxiter, rtol_wrt=rtol_wrt)
                 u = x * s * free + g
                 outs = {}
             elif use_vmem:

@@ -183,34 +183,54 @@ def test_sweep_rtol_defaults_width_independent(tmp_path, monkeypatch):
     assert seen == [1e-5, 1e-5]
 
 
-def test_sweep_resolver_agrees_with_auto_selects_vmem_on_rline_overlay(
-        monkeypatch):
-    """6. The sweep driver's _resolve_solver and unstructured
-    auto_selects_vmem must compute the rline VMEM working set with the
-    same formula (rline_extra_planes — the folded 2L+1 layout). The
-    drifted 3L estimate made the driver pick the XLA engine for overlay
-    shapes in the 2L+1-fits/3L-doesn't window while run2d's resolution
-    picked VMEM for the identical problem."""
+def test_sweep_resolver_uses_batched_vmem_budget_on_overlays(monkeypatch):
+    """6. (review-4 revision) The sweep driver resolves 'auto' against the
+    BATCHED working set (sweep_auto_selects_vmem ≡ the guard
+    _sweep_vmem_unstructured enforces: shared A0+K_var + per-config
+    operator), not the single-problem auto_selects_vmem. For overlay
+    shapes in the budget gap — single-problem kernel fits, batched sweep
+    kernel does not — 'auto' must fall back to 'xla' instead of picking an
+    engine the maker then rejects with a ValueError. (This replaces the
+    earlier test that pinned agreement with the single-problem predicate,
+    which asserted exactly that crash-prone resolution.)"""
     from heatflow_tpu.drivers.sweep import _resolve_solver
     from heatflow_tpu.mesh.msh_io import UnstructuredMesh
-    from heatflow_tpu.ops.pallas_cg import VMEM_BUDGET
-    from heatflow_tpu.sim.unstructured import auto_selects_vmem
+    from heatflow_tpu.ops.pallas_cg import (VMEM_BUDGET, fits_in_vmem,
+                                            fits_in_vmem_batched,
+                                            rline_extra_planes)
+    from heatflow_tpu.sim.unstructured import (auto_selects_vmem,
+                                               sweep_auto_selects_vmem)
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     nr = 1107                      # flagship lane count: L=11 PCR levels
-    # a z-extent inside the window where 2L+1 extra planes fit the VMEM
-    # budget but the old 3L estimate does not ((9+6+23) vs (9+6+33)
-    # planes of nz*nr*4 bytes)
-    lo = VMEM_BUDGET // ((9 + 6 + 33) * nr * 4)
-    hi = VMEM_BUDGET // ((9 + 6 + 23) * nr * 4)
-    assert hi > lo + 1, "window vanished — recompute the plane counts"
-    nz = (lo + 1 + hi) // 2
-    mesh = object.__new__(UnstructuredMesh)
-    mesh.grid_overlay = {"shape": (nz, nr)}
+    extra = rline_extra_planes(nr)           # folded 2L+1 factor layout
+    single = 9 + 6 + extra                   # single-problem working set
+    batched = 3 * 9 + 6 + extra              # batched sweep working set
+    lo = VMEM_BUDGET // (batched * nr * 4)
+    hi = VMEM_BUDGET // (single * nr * 4)
+    assert hi > lo + 1, "budget gap vanished — recompute the plane counts"
+    nz_gap = (lo + 1 + hi) // 2
+    assert fits_in_vmem(nz_gap, nr, jnp.float32, n_points=9,
+                        extra_planes=extra)
+    assert not fits_in_vmem_batched(nz_gap, nr, jnp.float32, n_points=9,
+                                    rline=True)
 
+    mesh = object.__new__(UnstructuredMesh)
+    mesh.grid_overlay = {"shape": (nz_gap, nr)}
     assert auto_selects_vmem(mesh, jnp.float32, precondition="rline")
+    assert not sweep_auto_selects_vmem(mesh, jnp.float32,
+                                       precondition="rline")
     assert _resolve_solver("auto", mesh, dtype=jnp.float32,
+                           precondition="rline", f64_refine=0,
+                           record_gradient=True) == "xla"
+
+    # below the gap both predicates agree and 'auto' keeps the fast engine
+    mesh2 = object.__new__(UnstructuredMesh)
+    mesh2.grid_overlay = {"shape": (max(1, lo - 1), nr)}
+    assert sweep_auto_selects_vmem(mesh2, jnp.float32,
+                                   precondition="rline")
+    assert _resolve_solver("auto", mesh2, dtype=jnp.float32,
                            precondition="rline", f64_refine=0,
                            record_gradient=True) == "vmem"
 
