@@ -72,9 +72,13 @@ def bench_tpu(problem, *, rtol=1e-4, maxiter=8000):
     # (f64_refine=1 — the f64 outer removes the f32 operator-representation
     # floor from the achievable error; sim/stepper._solve_refined).
     # Accuracy at this official point vs the f64 ground truth: o-side
-    # trace peak 0.55 K (rms 0.15 K) — strictly better than round 3's
+    # trace peak 0.58 K (rms 0.16 K) — strictly better than round 3's
     # earlier rline-only point (485 steps/s, 1.92 K) on BOTH axes; the
     # full frontier incl. f64-indistinguishable modes is in BENCHMARKS.md.
+    # CHECK_EVERY=1 (ops/pallas_cg.py) stops the inner CG exactly at the
+    # rule instead of overshooting by up to 7 iterations: +4.5% steps/s at
+    # +0.03 K peak vs the CHECK_EVERY=8 rows (retune rows incl. the
+    # accuracy-matched inner 8e-5 point are in BENCHMARKS.md).
     fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
                           maxiter=maxiter, record_gradient=False,
                           record_fields=False, rtol_wrt="r0",

@@ -31,6 +31,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--values", default="8,4,2,1")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--precondition", default="rline")
+    ap.add_argument("--rtol", type=float, default=1e-4)
+    ap.add_argument("--f64-refine", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -51,9 +54,10 @@ def main():
     for i, ce in enumerate(values):
         pc.CHECK_EVERY = ce
         fns[ce] = make_simulate_fn(
-            problem, dtype=jnp.float32, rtol=1e-4, maxiter=8000 + i,
+            problem, dtype=jnp.float32, rtol=args.rtol, maxiter=8000 + i,
             record_gradient=False, rtol_wrt="r0", solver="auto",
-            precondition="rline", warm_start="extrapolate", f64_refine=1)
+            precondition=args.precondition, warm_start="extrapolate",
+            f64_refine=args.f64_refine)
         t0 = time.time()
         ys = fns[ce]()
         ys["final_u"].block_until_ready()

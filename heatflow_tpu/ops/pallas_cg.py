@@ -112,8 +112,15 @@ def _cg_kernel(C_ref, b_ref, x0_ref, x_ref, *, iters: int):
     x_ref[:] = x
 
 
-CHECK_EVERY = 8  # CG iterations per convergence check (amortizes the
-                 # while_loop's per-trip synchronization)
+CHECK_EVERY = 1  # CG iterations per convergence check. The residual norm
+                 # already lands in the loop state every iteration (it feeds
+                 # the stopping rule), so checking costs no extra compute —
+                 # and the while_loop's per-trip overhead measured ~zero on
+                 # TPU (interleaved flagship A/Bs, both the rline and the
+                 # plain-jacobi kernels: benchmarks/expt_check_every.py).
+                 # Checking every iteration removes the mean
+                 # ~(CHECK_EVERY-1)/2-iteration stopping overshoot: +4.5%
+                 # steps/s at the official point vs the old value of 8.
 
 
 def _shift_lane(v: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -278,8 +285,8 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
 
     def body(state):
         x, r, p, rz, rr, k = state
-        # run a block of iterations between convergence checks (the extra
-        # iterations past the tolerance are free accuracy)
+        # CHECK_EVERY iterations per convergence check (any overshoot past
+        # the tolerance is extra accuracy, never less)
         x, r, p, rz, rr = jax.lax.fori_loop(0, CHECK_EVERY, one_iter,
                                             (x, r, p, rz, rr))
         return (x, r, p, rz, rr, k + CHECK_EVERY)
