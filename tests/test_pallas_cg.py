@@ -45,8 +45,9 @@ def test_kernel_matches_xla_cg(system):
     apply_s = lambda y: sm * apply_stencil(A, sm * y)
     ref = pcg(apply_s, b, jnp.zeros_like(b), mask=free, rtol=1e-11,
               maxiter=20000, rtol_wrt="r0")
-    # same Krylov process → very similar iteration counts
-    assert abs(int(iters) - int(ref.iters)) <= max(3, int(ref.iters) // 10)
+    # identical Krylov recurrence + per-iteration convergence checks
+    # (CHECK_EVERY=1) → exact iteration-count equality with the XLA path
+    assert int(iters) == int(ref.iters), (int(iters), int(ref.iters))
 
 
 def test_kernel_respects_tolerance(system):
@@ -210,7 +211,9 @@ def test_kernel_supports_9point_overlay_stencils(system):
               maxiter=20000)
     scale = np.abs(np.asarray(x_true)).max()
     assert np.abs(np.asarray(x) - np.asarray(x_true)).max() / scale < 1e-8
-    assert abs(int(iters) - int(ref.iters)) <= 8  # blocked checks (8/blk)
+    # per-iteration checks (CHECK_EVERY=1): counts match the XLA path up
+    # to ulp-level trajectory ties at the stopping threshold
+    assert abs(int(iters) - int(ref.iters)) <= 1
 
 
 def test_sweep_driver_vmem_solver(tmp_path):
@@ -281,9 +284,10 @@ def test_kernel_pcr_preconditioner(system):
     pre = line_preconditioner(A, s, free, axis=-1)
     ref = pcg(apply_s, b, jnp.zeros_like(b), precond=pre, mask=free,
               rtol=1e-11, maxiter=20000, rtol_wrt="r0")
-    # kernel checks convergence every CHECK_EVERY iters — counts may
-    # overshoot by up to CHECK_EVERY-1
-    assert abs(int(it) - int(ref.iters)) <= max(8, int(ref.iters) // 5)
+    # PCR applies the same preconditioner with a different arithmetic
+    # order than the XLA line_preconditioner — ulp-level trajectory
+    # differences can shift the stopping iteration slightly
+    assert abs(int(it) - int(ref.iters)) <= max(4, int(ref.iters) // 10)
 
 
 def test_stepper_vmem_rline_matches_xla_rline(system):
