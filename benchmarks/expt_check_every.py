@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """CHECK_EVERY granularity at the official flagship point.
 
-The VMEM tol kernels check convergence every CHECK_EVERY=8 iterations
-(ops/pallas_cg.py): iteration counts overshoot the stopping rule by up to 7,
-a mean of ~3.5 — ~4% of the official point's 86.6 mean iters/step. The
-residual norm ``rr`` is already computed every iteration on the rline path
+The VMEM tol kernels USED to check convergence every CHECK_EVERY=8
+iterations (ops/pallas_cg.py): iteration counts overshot the stopping rule
+by up to 7, a mean of ~3.5 — ~4% of the official point's 86.6 mean
+iters/step. The residual norm ``rr`` is already computed every iteration
 (it drives the stopping rule), so a finer check costs only while-loop
-bookkeeping. This experiment measures CHECK_EVERY ∈ {8, 4, 2, 1} on the
-official recipe (rline VMEM + extrapolate + refine1, inner rtol 1e-4),
-interleaved in one process so relay drift cancels.
+bookkeeping — measured ~zero, which is why CHECK_EVERY=1 is now the
+default (promoted after the runs recorded in BENCHMARKS.md: official
+564.7→590.2 steps/s; plain-jacobi guard 168.7→176.2; recording driver
+default 34.6→38.6 cfg/s). This experiment measures CHECK_EVERY values on
+a chosen recipe (--precondition/--rtol/--f64-refine), interleaved in one
+process so relay drift cancels.
 
 Each variant is a separate compile (CHECK_EVERY is a trace-time constant);
 variants get distinct maxiter values to bust the maker memoization without

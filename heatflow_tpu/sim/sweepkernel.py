@@ -783,6 +783,11 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     device-call durations: the whole batch stays resident while time is
     integrated chunk by chunk. Returns traces (B, num_steps, W).
 
+    ``step_chunk`` is an upper bound on steps per device call; the actual
+    chunk length is ceil-balanced over the resulting number of chunks
+    (e.g. 40 steps at step_chunk=25 run as 20+20, not 25+25-discard-10),
+    since a ragged tail re-runs the full compiled segment.
+
     ``mesh``: shard the batch axis over the mesh's 'config' devices (the
     batch is padded to a multiple of the axis size and sliced back).
 
@@ -796,7 +801,14 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     f64 fields across chunk boundaries exactly
     (tests/test_sweep_refine.py)."""
     total = int(problem.num_steps)
-    chunk_len = min(step_chunk, total)
+    # Balance chunk lengths over the same number of chunks: a ragged final
+    # chunk re-runs the full compiled segment and discards the surplus
+    # steps (each a real solve — measured +25% wall on 40 steps at
+    # step_chunk=25, where 25+25-keep-15 did 50 steps of work). ceil-
+    # balancing (40 -> 20+20) never exceeds step_chunk, keeps one compile,
+    # and cuts the discarded surplus to < n_chunks steps total.
+    n_chunks = max(1, -(-total // max(1, int(step_chunk))))
+    chunk_len = min(-(-total // n_chunks), total)
     from heatflow_tpu.sim.unstructured import ProblemUnstructured
     if isinstance(problem, ProblemUnstructured):
         # overlay meshes chunk through the shared VMEM scan (the reference's
