@@ -771,6 +771,18 @@ def make_sweep_fn_recording(problem: Problem2D, *,
     return simulate_batch
 
 
+def balanced_chunk_len(total: int, step_chunk: int) -> int:
+    """Balance chunk lengths over ceil(total/step_chunk) chunks: a ragged
+    final chunk re-runs the FULL compiled segment and discards the surplus
+    steps (each a real solve — measured +25% wall on 40 steps at
+    step_chunk=25, where 25+25-keep-15 did 50 steps of work). Ceil-balancing
+    (40 -> 20+20) never exceeds step_chunk, keeps one compile, and cuts the
+    discarded surplus to < n_chunks steps total."""
+    total = int(total)
+    n_chunks = max(1, -(-total // max(1, int(step_chunk))))
+    return min(-(-total // n_chunks), total)
+
+
 def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
                            step_chunk: int = 10, dtype=jnp.float32,
                            fixed_iters: int | None = None,
@@ -801,14 +813,7 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     f64 fields across chunk boundaries exactly
     (tests/test_sweep_refine.py)."""
     total = int(problem.num_steps)
-    # Balance chunk lengths over the same number of chunks: a ragged final
-    # chunk re-runs the full compiled segment and discards the surplus
-    # steps (each a real solve — measured +25% wall on 40 steps at
-    # step_chunk=25, where 25+25-keep-15 did 50 steps of work). ceil-
-    # balancing (40 -> 20+20) never exceeds step_chunk, keeps one compile,
-    # and cuts the discarded surplus to < n_chunks steps total.
-    n_chunks = max(1, -(-total // max(1, int(step_chunk))))
-    chunk_len = min(-(-total // n_chunks), total)
+    chunk_len = balanced_chunk_len(total, step_chunk)
     from heatflow_tpu.sim.unstructured import ProblemUnstructured
     if isinstance(problem, ProblemUnstructured):
         # overlay meshes chunk through the shared VMEM scan (the reference's

@@ -79,6 +79,28 @@ def test_time_chunked_sweep_matches_unchunked():
     assert np.abs(chunked - full).max() / scale < 1e-10
 
 
+def test_balanced_chunk_len():
+    """Chunk lengths are ceil-balanced over ceil(total/step_chunk) chunks:
+    never above step_chunk, and the discarded surplus of the ragged final
+    chunk is below n_chunks (40@25 runs 20+20, not 25+25-discard-10)."""
+    from heatflow_tpu.sim.sweepkernel import balanced_chunk_len
+    assert balanced_chunk_len(40, 25) == 20
+    assert balanced_chunk_len(40, 40) == 40
+    assert balanced_chunk_len(40, 100) == 40     # clamped to total
+    assert balanced_chunk_len(7, 3) == 3         # 3+3+1, already minimal
+    assert balanced_chunk_len(100, 30) == 25     # 4 x 25, zero surplus
+    assert balanced_chunk_len(1, 1) == 1
+    for total in range(1, 200):
+        for sc in range(1, 64):
+            cl = balanced_chunk_len(total, sc)
+            n_chunks = -(-total // cl)
+            assert 1 <= cl <= min(sc, total)
+            # same number of device calls as naive fixed-length chunking
+            assert n_chunks == -(-total // min(sc, total))
+            # surplus solves of the ragged tail < one per chunk
+            assert n_chunks * cl - total < n_chunks
+
+
 def test_pcg_rtol_modes():
     rng = np.random.default_rng(0)
     n = 30
