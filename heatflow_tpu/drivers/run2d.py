@@ -427,14 +427,16 @@ def main(argv=None):
                         "error at equal iterations — BENCHMARKS.md). "
                         "Default: extrapolate at f32, previous at f64")
     p.add_argument("--precondition",
-                   choices=["jacobi", "rline", "zline", "mg"],
+                   choices=["jacobi", "rline", "zline", "adi", "mg"],
                    default=None,
                    help="CG preconditioner: 'rline' = r-line "
                         "block-tridiagonal via precomputed PCR (~6-8x fewer "
-                        "iterations on DAC operators), 'mg' = Galerkin "
-                        "multigrid V-cycle. Default: rline for f32 "
-                        "gradient-recording runs (clean raw-axis artifacts "
-                        "— BENCHMARKS.md), jacobi otherwise")
+                        "iterations on DAC operators), 'adi' = split-"
+                        "additive r-line + z-line (further iteration cut, "
+                        "best on cold/tight solves — BENCHMARKS.md), 'mg' "
+                        "= Galerkin multigrid V-cycle. Default: rline for "
+                        "f32 gradient-recording runs (clean raw-axis "
+                        "artifacts — BENCHMARKS.md), jacobi otherwise")
     p.add_argument("--f64-refine", type=int, default=0,
                    help="mixed-precision iterative refinement: N passes of "
                         "f64-residual / f32-correction per step (enables "

@@ -151,6 +151,27 @@ def pcr_apply_folded(levels2, g: jnp.ndarray, d: jnp.ndarray,
     return d if g is None else g * d
 
 
+def adi_preconditioner(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray):
+    """Split-additive ADI composition of BOTH line block-Jacobi solves on
+    the scaled system:  pre(r) = R r + Z r − r  (R = r-line, Z = z-line;
+    the subtracted identity removes the doubly-counted unit diagonal).
+
+    R and Z are SPD (principal-submatrix block Jacobi of the scaled SPD
+    operator); the split form measured SPD-in-practice on the DAC operator
+    (monotone PCG convergence, benchmarks/expt_adi_probe.py). Flagship
+    iteration cuts vs rline alone: 2.3x on cold solves, 1.6x in the
+    warm-started transient regime — against ~1.4x per-application cost
+    (one extra z-direction PCR rhs phase, no extra operator applies)."""
+    R = line_preconditioner(A, s, free, axis=-1)
+    Z = line_preconditioner(A, s, free, axis=-2)
+    fm = free
+
+    def pre(r):
+        return R(r) + Z(r) - r * fm
+
+    return pre
+
+
 def line_preconditioner(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray,
                         axis: int = -1):
     """Build the r-line (axis=-1) or z-line (axis=-2) block-Jacobi

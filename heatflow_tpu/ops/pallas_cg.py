@@ -133,19 +133,31 @@ def _shift_lane(v: jnp.ndarray, d: int) -> jnp.ndarray:
     return jax.lax.slice(jnp.pad(v, ((0, 0), (-d, 0))), (0, 0), (nz, nr))
 
 
-def _pcr_precond(pcr_ref, rr, n_levels: int):
-    """r-line block-Jacobi application from precomputed FOLDED PCR levels
+def _shift_sublane(v: jnp.ndarray, d: int) -> jnp.ndarray:
+    """out[i, :] = v[i+d, :], zeros shifted in — the sublane (major) axis
+    twin of :func:`_shift_lane` for the z-direction PCR."""
+    nz, nr = v.shape
+    if d > 0:
+        return jax.lax.slice(jnp.pad(v, ((0, d), (0, 0))), (d, 0),
+                             (d + nz, nr))
+    return jax.lax.slice(jnp.pad(v, ((-d, 0), (0, 0))), (0, 0), (nz, nr))
+
+
+def _pcr_precond(pcr_ref, rr, n_levels: int, axis: int = -1):
+    """Line block-Jacobi application from precomputed FOLDED PCR levels
     resident in VMEM (layout: rows 2k/2k+1 = the level-k rescaled lower /
     upper couplings, row 2·n_levels = the accumulated diagonal — see
     linesolve.pcr_fold): n_levels unrolled two-plane shifted multiply-add
     passes plus one final diagonal multiply (no reductions, no gathers).
     One factor plane fewer per level than the raw inv_a form — ~30% less
-    factor traffic in the hot per-iteration path."""
+    factor traffic in the hot per-iteration path. ``axis=-1`` solves along
+    r (lanes), ``axis=-2`` along z (sublanes)."""
+    shift = _shift_lane if axis == -1 else _shift_sublane
     d = rr
     s = 1
     for k in range(n_levels):
-        d = (d - pcr_ref[2 * k] * _shift_lane(d, -s)
-             - pcr_ref[2 * k + 1] * _shift_lane(d, s))
+        d = (d - pcr_ref[2 * k] * shift(d, -s)
+             - pcr_ref[2 * k + 1] * shift(d, s))
         s *= 2
     return pcr_ref[2 * n_levels] * d
 
@@ -193,9 +205,16 @@ def rline_extra_planes(nr: int) -> int:
     return 2 * rline_levels(nr) + 1
 
 
+def adi_extra_planes(nz: int, nr: int) -> int:
+    """VMEM planes held by BOTH folded PCR stacks of the split-additive
+    ADI preconditioner (r-line + z-line)."""
+    return rline_extra_planes(nr) + rline_extra_planes(nz)
+
+
 def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
                    *rest, maxiter: int, rtol_wrt: str,
-                   cheb_degree: int, pcr_levels: int):
+                   cheb_degree: int, pcr_levels: int,
+                   pcr_z_levels: int = 0):
     """Whole tolerance-based CG solve in one kernel (while_loop on-chip).
 
     The operator is applied with ON-THE-FLY symmetric scaling,
@@ -215,11 +234,10 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
     measured 6-8x iteration cut on DAC operators at ~3 applies' worth of
     reduction-free VPU work per application (BENCHMARKS.md).
     """
-    if pcr_levels > 0:
-        pcr_ref, x_ref, it_ref = rest
-    else:
-        pcr_ref = None
-        x_ref, it_ref = rest
+    rest = list(rest)
+    pcr_ref = rest.pop(0) if pcr_levels > 0 else None
+    pcrz_ref = rest.pop(0) if pcr_z_levels > 0 else None
+    x_ref, it_ref = rest
     sm = sm_ref[:]
     b = b_ref[:]
     x = x0_ref[:]
@@ -228,7 +246,15 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
         return sm * _apply7(A_ref, sm * y)
 
     dtype = b.dtype
-    if pcr_levels > 0:
+    if pcr_z_levels > 0:
+        # split-additive ADI: R r + Z r − r (linesolve.adi_preconditioner)
+        free = (sm != 0).astype(dtype)
+
+        def precond(rr):
+            return (_pcr_precond(pcr_ref, rr, pcr_levels)
+                    + _pcr_precond(pcrz_ref, rr, pcr_z_levels, axis=-2)
+                    - rr) * free
+    elif pcr_levels > 0:
         free = (sm != 0).astype(dtype)
 
         def precond(rr):
@@ -306,7 +332,7 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
                 x0: jnp.ndarray, rtol: float | jnp.ndarray, *,
                 maxiter: int = 4000, rtol_wrt: str = "r0",
                 interpret: bool = False, cheb_degree: int = 0,
-                pcr=None):
+                pcr=None, pcr_z=None):
     """Tolerance-based VMEM-resident CG on the scaled-masked operator
     sm·A·sm. Returns (x, iters). b and x0 must vanish at constrained dofs;
     sm = rsqrt(diag(A)) * free. ``interpret=True`` runs the Pallas
@@ -314,12 +340,19 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
     in-kernel Chebyshev polynomial; ``pcr`` (a folded (2L+1, Nz, Nr) array
     of r-line PCR factors, see :func:`pcr_pack`) preconditions with the
     VMEM-resident r-line block-Jacobi solve — mutually exclusive with
-    ``cheb_degree``. Stopping is on the true residual in both cases."""
+    ``cheb_degree``. ``pcr_z`` (the z-axis folded stack,
+    ``pcr_pack(..., axis=-2)``; requires ``pcr``) switches to the
+    split-additive ADI preconditioner R r + Z r − r
+    (linesolve.adi_preconditioner). Stopping is on the true residual in
+    all cases."""
     nz, nr = b.shape
     rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
     pcr_levels = 0 if pcr is None else (int(pcr.shape[0]) - 1) // 2
+    pcr_z_levels = 0 if pcr_z is None else (int(pcr_z.shape[0]) - 1) // 2
     if pcr_levels and cheb_degree:
         raise ValueError("pcr and cheb_degree are mutually exclusive")
+    if pcr_z_levels and not pcr_levels:
+        raise ValueError("pcr_z (ADI) requires the r-line pcr stack too")
     if cheb_degree > 0:
         # Gershgorin bound of the scaled operator (sm >= 0, so absolute
         # row sums are one |A|-apply): λmax ≈ max_i Σ_j |Â_ij|
@@ -334,10 +367,14 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
     if pcr_levels:
         operands.append(pcr)
         in_specs.append(vm)
+    if pcr_z_levels:
+        operands.append(pcr_z)
+        in_specs.append(vm)
     x, it = pl.pallas_call(
         functools.partial(_cg_tol_kernel, maxiter=maxiter,
                           rtol_wrt=rtol_wrt, cheb_degree=cheb_degree,
-                          pcr_levels=pcr_levels),
+                          pcr_levels=pcr_levels,
+                          pcr_z_levels=pcr_z_levels),
         out_shape=(jax.ShapeDtypeStruct((nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         in_specs=in_specs,
@@ -346,25 +383,29 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
             flops=maxiter * 24 * nz * nr // 4,
-            bytes_accessed=(8 + 3 + (2 * pcr_levels + 1 if pcr_levels
-                                     else 0)) * nz * nr * 4,
+            bytes_accessed=(8 + 3
+                            + (2 * pcr_levels + 1 if pcr_levels else 0)
+                            + (2 * pcr_z_levels + 1 if pcr_z_levels
+                               else 0)) * nz * nr * 4,
             transcendentals=0),
         interpret=interpret,
     )(*operands)
     return x, it[0, 0]
 
 
-def pcr_pack(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray
-             ) -> jnp.ndarray:
-    """Precompute the FOLDED r-line PCR factor stack for
+def pcr_pack(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray,
+             axis: int = -1) -> jnp.ndarray:
+    """Precompute the FOLDED line-PCR factor stack for
     :func:`cg_vmem_tol`: (2L+1, Nz, Nr) — rows 2k/2k+1 are level k's
     rescaled lower/upper couplings, the last row the accumulated diagonal
-    (linesolve.pcr_fold). Runs at XLA level once per transient (the
-    operator is constant across steps)."""
+    (linesolve.pcr_fold). ``axis=-1`` packs the r-line factors (the
+    ``pcr`` operand), ``axis=-2`` the z-line factors (the ``pcr_z`` ADI
+    operand). Runs at XLA level once per transient (the operator is
+    constant across steps)."""
     from heatflow_tpu.ops.linesolve import (line_couplings, pcr_factor,
                                             pcr_fold)
-    l, u = line_couplings(A, s * free, -1)
-    levels2, g = pcr_fold(pcr_factor(l, u, axis=-1), axis=-1)
+    l, u = line_couplings(A, s * free, axis)
+    levels2, g = pcr_fold(pcr_factor(l, u, axis=axis), axis=axis)
     return jnp.stack([p for lv in levels2 for p in lv] + [g])
 
 

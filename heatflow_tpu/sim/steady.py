@@ -23,9 +23,15 @@ from heatflow_tpu.sim.problem import Problem2D
 
 def solve_steady(problem: Problem2D, bc_values: np.ndarray, *,
                  f=None, weighted: bool = False, dtype=jnp.float64,
-                 rtol: float = 1e-11, maxiter: int = 50000):
+                 rtol: float = 1e-11, maxiter: int = 50000,
+                 precondition: str = "adi"):
     """Solve Σ_m κ_m K_m u = f with Dirichlet data ``bc_values`` (full-grid
-    array; only constrained entries are used). Returns u (Nz, Nr) ndarray."""
+    array; only constrained entries are used). Returns u (Nz, Nr) ndarray.
+
+    ``precondition``: 'adi' (default — steady solves are COLD, the regime
+    where the split-additive r-line+z-line composition cuts iterations
+    most: 2.3-4.8x vs rline on the flagship operator,
+    benchmarks/expt_adi_probe.py), 'rline', 'zline', or 'jacobi'."""
     st = problem.stencils
     Ksrc = st.K if weighted else st.K_flat
     from heatflow_tpu.ops.stencil import material_combine
@@ -39,6 +45,18 @@ def solve_steady(problem: Problem2D, bc_values: np.ndarray, *,
     s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
     apply_s = lambda y: s * apply_stencil(K, s * y)
 
+    if precondition == "adi":
+        from heatflow_tpu.ops.linesolve import adi_preconditioner
+        pre = adi_preconditioner(K, s, free)
+    elif precondition in ("rline", "zline"):
+        from heatflow_tpu.ops.linesolve import line_preconditioner
+        pre = line_preconditioner(
+            K, s, free, axis=-1 if precondition == "rline" else -2)
+    elif precondition == "jacobi":
+        pre = None
+    else:
+        raise ValueError(f"unknown precondition {precondition!r}")
+
     if f is None:
         b = jnp.zeros_like(g)
     else:
@@ -49,7 +67,7 @@ def solve_steady(problem: Problem2D, bc_values: np.ndarray, *,
 
     b_lift = (b - apply_stencil(K, g)) * s * free
     sol = pcg(apply_s, b_lift, jnp.zeros_like(g), mask=free, rtol=rtol,
-              maxiter=maxiter)
+              maxiter=maxiter, precond=pre)
     u = sol.x * s * free + g
     return np.asarray(u), {"iters": int(sol.iters),
                            "residual": float(sol.residual),

@@ -134,7 +134,7 @@ def make_simulate_fn(problem: Problem2D,
         return cache[cache_key]
     if warm_start not in ("previous", "extrapolate", "extrapolate2"):
         raise ValueError(f"unknown warm_start {warm_start!r}")
-    if precondition not in ("jacobi", "mg", "rline", "zline"):
+    if precondition not in ("jacobi", "mg", "rline", "zline", "adi"):
         raise ValueError(f"unknown precondition {precondition!r}")
     if f64_refine:
         if jnp.dtype(dtype) != jnp.float32:
@@ -148,8 +148,8 @@ def make_simulate_fn(problem: Problem2D,
         if fixed_iters is not None or vmem_cheb_degree or mesh is not None \
                 or precondition == "mg":
             raise ValueError("f64_refine composes with the tolerance-based "
-                             "jacobi/rline solvers on one chip (no "
-                             "fixed_iters / cheb / mg / mesh)")
+                             "jacobi/line (rline/zline/adi) solvers on one "
+                             "chip (no fixed_iters / cheb / mg / mesh)")
     # state/operator compute dtype: f64 when refining, else the run dtype
     cdt = jnp.float64 if f64_refine else dtype
     dev = problem.device_arrays(cdt)
@@ -163,9 +163,12 @@ def make_simulate_fn(problem: Problem2D,
 
     use_vmem = False
     if solver in ("vmem", "auto"):
-        from heatflow_tpu.ops.pallas_cg import (fits_in_vmem,
+        from heatflow_tpu.ops.pallas_cg import (adi_extra_planes,
+                                                fits_in_vmem,
                                                 rline_extra_planes)
-        extra = rline_extra_planes(nr) if precondition == "rline" else 0
+        extra = (rline_extra_planes(nr) if precondition == "rline"
+                 else adi_extra_planes(nz, nr) if precondition == "adi"
+                 else 0)
         use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
     if solver == "vmem" and not use_vmem:
         raise ValueError(
@@ -272,15 +275,22 @@ def make_simulate_fn(problem: Problem2D,
 
         pre = None
         pcr_stack = None
-        if precondition in ("rline", "zline") and not f64_refine:
+        pcr_z_stack = None
+        if precondition in ("rline", "zline", "adi") and not f64_refine:
             # line block-Jacobi on the scaled system via precomputed PCR
             # (the operator is constant over the transient, so the
             # factorization runs once, outside the scan; each application
             # is ~log2(N) shifted multiply-add passes).  'rline' is the
-            # measured winner on the DAC operator — see ops/linesolve.py.
-            if use_vmem and precondition == "rline":
+            # measured winner on the DAC operator; 'adi' adds the z-line
+            # solve split-additively (R r + Z r − r) — see ops/linesolve.py.
+            if use_vmem and precondition in ("rline", "adi"):
                 from heatflow_tpu.ops.pallas_cg import pcr_pack
                 pcr_stack = pcr_pack(A, s, free)
+                if precondition == "adi":
+                    pcr_z_stack = pcr_pack(A, s, free, axis=-2)
+            elif precondition == "adi":
+                from heatflow_tpu.ops.linesolve import adi_preconditioner
+                pre = adi_preconditioner(A, s, free)
             else:
                 from heatflow_tpu.ops.linesolve import line_preconditioner
                 pre = line_preconditioner(
@@ -329,9 +339,15 @@ def make_simulate_fn(problem: Problem2D,
             apply_A32_s = lambda y: s32 * apply_stencil(A32, s32 * y)
             pre32 = None
             pcr_stack32 = None
-            if use_vmem and precondition == "rline":
+            pcr_z_stack32 = None
+            if use_vmem and precondition in ("rline", "adi"):
                 from heatflow_tpu.ops.pallas_cg import pcr_pack
                 pcr_stack32 = pcr_pack(A32, s32, free32)
+                if precondition == "adi":
+                    pcr_z_stack32 = pcr_pack(A32, s32, free32, axis=-2)
+            elif precondition == "adi":
+                from heatflow_tpu.ops.linesolve import adi_preconditioner
+                pre32 = adi_preconditioner(A32, s32, free32)
             elif precondition in ("rline", "zline"):
                 from heatflow_tpu.ops.linesolve import line_preconditioner
                 pre32 = line_preconditioner(
@@ -387,7 +403,8 @@ def make_simulate_fn(problem: Problem2D,
                 if use_vmem:
                     dy, its = cg_vmem_tol(A32, sm32, r32, seed, rtol_eff,
                                           maxiter=maxiter, rtol_wrt="b",
-                                          pcr=pcr_stack32)
+                                          pcr=pcr_stack32,
+                                          pcr_z=pcr_z_stack32)
                 else:
                     dsol = pcg(apply_A32_s, r32, seed, precond=pre32,
                                mask=free32, rtol=rtol_eff, maxiter=maxiter,
@@ -431,7 +448,7 @@ def make_simulate_fn(problem: Problem2D,
                 x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0, rtol,
                                        maxiter=maxiter, rtol_wrt=rtol_wrt,
                                        cheb_degree=vmem_cheb_degree,
-                                       pcr=pcr_stack)
+                                       pcr=pcr_stack, pcr_z=pcr_z_stack)
                 sol = CGResult(x=x, iters=iters,
                                residual=jnp.zeros((), dtype),
                                converged=jnp.asarray(True))

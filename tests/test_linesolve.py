@@ -217,3 +217,49 @@ def test_rline_stepper_matches_jacobi_stepper():
                                rtol=1e-9, atol=1e-9)
     assert int(np.asarray(ys_r["cg_iters"]).sum()) \
         < int(np.asarray(ys_j["cg_iters"]).sum())
+
+
+def test_adi_preconditioner_cuts_iterations_and_matches_solution():
+    """Split-additive ADI (R + Z − I): same solution, fewer iterations than
+    rline alone on cold solves (the steady/tight-tolerance regime it is
+    for — benchmarks/expt_adi_probe.py has the flagship numbers)."""
+    from heatflow_tpu.ops.cg import pcg
+    from heatflow_tpu.ops.linesolve import adi_preconditioner
+    from heatflow_tpu.ops.stencil import apply_stencil, combine_operator
+    problem = _tiny_problem()
+    dev = problem.device_arrays(jnp.float64)
+    A, _ = combine_operator(dev["K"], dev["M"], dev["kappas"],
+                            dev["rho_cvs"], jnp.asarray(problem.dt))
+    free, dirich = dev["free"], dev["dirichlet"]
+    s = jax.lax.rsqrt(jnp.where(A[0] > 0, A[0], 1.0)) * free + dirich
+    apply_s = lambda y: s * apply_stencil(A, s * y)
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal(free.shape)) * free
+    y0 = jnp.zeros_like(b)
+
+    pre_r = line_preconditioner(A, s, free, axis=-1)
+    lined = pcg(apply_s, b, y0, precond=pre_r, mask=free, rtol=1e-11,
+                maxiter=20000)
+    pre = adi_preconditioner(A, s, free)
+    adi = pcg(apply_s, b, y0, precond=pre, mask=free, rtol=1e-11,
+              maxiter=20000)
+    assert bool(adi.converged) and bool(lined.converged)
+    np.testing.assert_allclose(np.asarray(adi.x), np.asarray(lined.x),
+                               rtol=1e-7, atol=1e-9)
+    assert int(adi.iters) < int(lined.iters), \
+        (int(adi.iters), int(lined.iters))
+
+
+def test_adi_stepper_matches_jacobi_stepper():
+    """make_simulate_fn(precondition='adi') (XLA path): same transient."""
+    from heatflow_tpu.sim.stepper import make_simulate_fn
+    problem = _tiny_problem()
+    ys_j = make_simulate_fn(problem, dtype=jnp.float64, rtol=1e-11,
+                            precondition="jacobi")()
+    ys_a = make_simulate_fn(problem, dtype=jnp.float64, rtol=1e-11,
+                            precondition="adi")()
+    np.testing.assert_allclose(np.asarray(ys_a["watch"]),
+                               np.asarray(ys_j["watch"]),
+                               rtol=1e-9, atol=1e-9)
+    assert int(np.asarray(ys_a["cg_iters"]).sum()) \
+        < int(np.asarray(ys_j["cg_iters"]).sum())

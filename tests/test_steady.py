@@ -74,3 +74,19 @@ def test_steady_as_initial_condition(problem):
     d0 = np.abs(res.fields[0] - u_steady).max()
     d_const = np.abs(res.fields[0] - p.ic_temp).max()
     assert d0 < d_const  # closer to the steady start than to constant ic
+
+
+def test_steady_adi_default_matches_jacobi_and_cuts_iterations(problem):
+    """solve_steady's default 'adi' preconditioner (steady solves are cold
+    — the regime where ADI cuts most) returns the same field as jacobi in
+    fewer iterations."""
+    _, p = problem
+    g = steady_heating_values(p, amplitude=900.0)
+    u_adi, info_adi = solve_steady(p, g)          # default: adi
+    u_j, info_j = solve_steady(p, g, precondition="jacobi")
+    assert info_adi["converged"] and info_j["converged"]
+    np.testing.assert_allclose(u_adi, u_j, rtol=1e-7, atol=1e-6)
+    assert info_adi["iters"] < info_j["iters"], \
+        (info_adi["iters"], info_j["iters"])
+    with pytest.raises(ValueError):
+        solve_steady(p, g, precondition="nope")
