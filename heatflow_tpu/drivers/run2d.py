@@ -170,9 +170,10 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             print(f"Mesh visualization written to {png}")
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
         if precondition is None:
-            # rline for f32 gradient-recording runs (clean near-axis
-            # gradient artifacts — measured 44x raw-axis difference at the
-            # same rtol, BENCHMARKS.md "recording engines"), jacobi
+            # adi (structured) / rline (overlay) for f32 gradient-recording
+            # runs (clean near-axis gradient artifacts — measured 44x
+            # raw-axis difference vs jacobi at the same rtol; adi +53%
+            # steps/s over rline at same-class artifact error), jacobi
             # otherwise — see utils.resolve_recording_precondition. The
             # unstructured rline engine is the overlay VMEM kernel, so the
             # default must check what 'auto' (or an explicit 'xla') will
@@ -188,7 +189,8 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                 else:
                     unstructured_xla = solver == "xla"
             precondition = resolve_recording_precondition(
-                record_gradient, dtype, unstructured_xla=unstructured_xla)
+                record_gradient, dtype, unstructured_xla=unstructured_xla,
+                unstructured=isinstance(mesh, UnstructuredMesh))
         if isinstance(mesh, UnstructuredMesh):
             if z_shards > 1:
                 # z-sharding is wired for the structured stepper only

@@ -151,7 +151,7 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         # accuracy-matched neutral in the wrt-||b|| regime (BENCHMARKS.md).
         from heatflow_tpu.utils import resolve_recording_precondition
         precondition = resolve_recording_precondition(
-            record_gradient, dtype, fixed_iters=fixed_iters)
+            record_gradient, dtype, fixed_iters=fixed_iters, batched=True)
     rtol_kw = {} if rtol is None else {"rtol": rtol}
     if rtol_wrt != "b":
         # increment-relative stopping: the sweep accuracy regime

@@ -63,9 +63,11 @@ def pad_to_multiple(arr, m: int):
 
 def resolve_recording_precondition(record_gradient: bool, dtype,
                                    *, unstructured_xla: bool = False,
-                                   fixed_iters=None) -> str:
-    """Driver-default CG preconditioner: 'rline' for f32 gradient-recording
-    runs, 'jacobi' otherwise.
+                                   fixed_iters=None,
+                                   batched: bool = False,
+                                   unstructured: bool = False) -> str:
+    """Driver-default CG preconditioner: a line preconditioner for f32
+    gradient-recording runs, 'jacobi' otherwise.
 
     At f32, jacobi-CG's unconverged error concentrates in exactly the
     near-axis radial modes the gradient artifacts amplify by ~1/h_r — the
@@ -76,9 +78,17 @@ def resolve_recording_precondition(record_gradient: bool, dtype,
     way. The unstructured rline path is the overlay VMEM engine
     (``unstructured_xla=True`` keeps jacobi), and vmem rline is
     tolerance-based (a fixed iteration budget keeps jacobi).
+
+    Structured SINGLE-RUN recording (``batched=False, unstructured=False``)
+    gets 'adi' (split-additive r-line + z-line): +53% steps/s at
+    same-class artifact error vs rline on the flagship recording point
+    (interleaved A/B, benchmarks/expt_adi_record.py — under wrt-r0
+    stopping with extrapolated seeds rline grinds near the f32 floor).
+    Batched sweeps and overlay meshes keep 'rline': their VMEM kernels
+    factor lines in-kernel along r only.
     """
     import jax.numpy as jnp
-    return ("rline" if record_gradient
-            and jnp.dtype(dtype) == jnp.float32
-            and fixed_iters is None
-            and not unstructured_xla else "jacobi")
+    if not (record_gradient and jnp.dtype(dtype) == jnp.float32
+            and fixed_iters is None and not unstructured_xla):
+        return "jacobi"
+    return "rline" if (batched or unstructured) else "adi"

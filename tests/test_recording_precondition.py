@@ -28,7 +28,15 @@ from tests.fixtures import synthetic_heating, tiny_no_diamond_cfg
 
 def test_resolve_recording_precondition_matrix():
     f32, f64 = jnp.float32, jnp.float64
-    assert resolve_recording_precondition(True, f32) == "rline"
+    # structured single runs: adi (+53% at same-class artifact error vs
+    # rline — benchmarks/expt_adi_record.py)
+    assert resolve_recording_precondition(True, f32) == "adi"
+    # batched sweeps / overlay meshes: their VMEM kernels factor lines
+    # in-kernel along r only — rline
+    assert resolve_recording_precondition(True, f32, batched=True) \
+        == "rline"
+    assert resolve_recording_precondition(True, f32, unstructured=True) \
+        == "rline"
     # f64 converges past the artifact sensitivity — keep jacobi
     assert resolve_recording_precondition(True, f64) == "jacobi"
     # watcher-only runs: rline measured accuracy-matched neutral
