@@ -17,8 +17,8 @@ Rows: a comma-separated --rows list of
   r0:RTOL           vmem tolerance, wrt ||r0||     (e.g. r0:1e-5)
   refineN:RTOL      vmem f64_refine=N, inner RTOL, extrapolated seed
   xla-b:RTOL        XLA engine, wrt ||b||
-Any row accepts a trailing +rline (e.g. r0:1e-5+rline) to switch the
-preconditioner from the jacobi default.
+Any row accepts a trailing +PRECOND (e.g. r0:1e-5+rline, r0:1e-4+adi) to
+switch the preconditioner from the jacobi default.
 
 Usage: python benchmarks/bench_sweep.py [--batch 64]
          [--rows fixed120,b:1e-5,r0:1e-4,r0:1e-5] [--no-ref] [--reps 3]
@@ -101,10 +101,10 @@ def main():
 
     def parse_row(row):
         pre = "jacobi"
-        if row.endswith("+rline"):
-            pre, row = "rline", row[: -len("+rline")]
+        if "+" in row:
+            row, pre = row.split("+", 1)   # e.g. r0:1e-4+adi
         if row == "fixed120":
-            return row + ("" if pre == "jacobi" else "+rline"), dict(
+            return row + ("" if pre == "jacobi" else f"+{pre}"), dict(
                 solver="vmem", fixed_iters=120, precondition=pre)
         kind, rtol_s = row.split(":")
         rtol = float(rtol_s)
@@ -120,7 +120,7 @@ def main():
         else:
             raise SystemExit(f"unknown row kind {kind!r}")
         kw["precondition"] = pre
-        label = row + ("" if pre == "jacobi" else "+rline")
+        label = row + ("" if pre == "jacobi" else f"+{pre}")
         return label, kw
 
     report = {}

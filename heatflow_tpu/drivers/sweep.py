@@ -89,7 +89,8 @@ def _resolve_solver(solver, mesh_w, *, dtype, precondition, f64_refine,
     from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
     nzw, nrw = mesh_w.shape
     return ("vmem" if fits_in_vmem_batched(
-        nzw, nrw, dtype, rline=precondition == "rline") else "xla")
+        nzw, nrw, dtype, rline=precondition == "rline",
+        adi=precondition == "adi") else "xla")
 
 
 def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,

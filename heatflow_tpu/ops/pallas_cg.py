@@ -162,27 +162,32 @@ def _pcr_precond(pcr_ref, rr, n_levels: int, axis: int = -1):
     return pcr_ref[2 * n_levels] * d
 
 
-def _rline_factor_into(C, sm, scr_ref, n_levels: int):
-    """In-kernel PCR factorization of the r-line tridiagonal part of the
+def _line_factor_into(C, sm, scr_ref, n_levels: int, axis: int = -1):
+    """In-kernel PCR factorization of the line-tridiagonal part of the
     scaled operator sm·C·sm into VMEM scratch, in the FOLDED layout of
     :func:`_pcr_precond` / linesolve.pcr_fold ((2L+1, Nz, Nr): two
-    rescaled coupling planes per level + the accumulated diagonal). Costs
-    ~n_levels shifted multiply-add passes — about three CG iterations'
-    worth, once per solve, so per-config factoring in the batched sweep
-    kernels is essentially free (no per-config VMEM residency, unlike
-    passing precomputed factors)."""
-    u = sm * C[3] * _shift_lane(sm, 1)
-    l = sm * C[4] * _shift_lane(sm, -1)
+    rescaled coupling planes per level + the accumulated diagonal).
+    ``axis=-1`` factors the r-lines (stencil offsets 3/4, lane shifts),
+    ``axis=-2`` the z-lines (offsets 1/2, sublane shifts — the second
+    stack of the split-additive ADI preconditioner). Costs ~n_levels
+    shifted multiply-add passes — about three CG iterations' worth, once
+    per solve, so per-config factoring in the batched sweep kernels is
+    essentially free (no per-config VMEM residency, unlike passing
+    precomputed factors)."""
+    shift = _shift_lane if axis == -1 else _shift_sublane
+    up_k, lo_k = (3, 4) if axis == -1 else (1, 2)
+    u = sm * C[up_k] * shift(sm, 1)
+    l = sm * C[lo_k] * shift(sm, -1)
     g = jnp.ones_like(l)
     s = 1
     for k in range(n_levels):
-        alpha = 1.0 - l * _shift_lane(u, -s) - u * _shift_lane(l, s)
+        alpha = 1.0 - l * shift(u, -s) - u * shift(l, s)
         inv_a = 1.0 / alpha
         ginv = 1.0 / jnp.where(g != 0, g, 1.0)
-        scr_ref[2 * k] = l * _shift_lane(g, -s) * ginv
-        scr_ref[2 * k + 1] = u * _shift_lane(g, s) * ginv
-        l, u = (-l * _shift_lane(l, -s) * inv_a,
-                -u * _shift_lane(u, s) * inv_a)
+        scr_ref[2 * k] = l * shift(g, -s) * ginv
+        scr_ref[2 * k + 1] = u * shift(g, s) * ginv
+        l, u = (-l * shift(l, -s) * inv_a,
+                -u * shift(u, s) * inv_a)
         g = inv_a * g
         s *= 2
     scr_ref[2 * n_levels] = g
@@ -441,13 +446,16 @@ def cg_vmem(C: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
 
 
 def fits_in_vmem_batched(nz: int, nr: int, dtype=jnp.float32,
-                         n_points: int = 7, rline: bool = False) -> bool:
+                         n_points: int = 7, rline: bool = False,
+                         adi: bool = False) -> bool:
     """Working set of the batched sweep kernel: shared A0+K_var
     (2·n_points planes), the per-config combined operator (n_points), and
     ~6 solution-sized vectors; ``rline`` adds the in-kernel folded PCR
-    scratch (2·ceil(log2(Nr))+1 planes — _rline_factor_into)."""
+    scratch (2·ceil(log2(Nr))+1 planes — _line_factor_into), ``adi`` both
+    line stacks (r + z)."""
     bytes_per = jnp.dtype(dtype).itemsize
-    extra = rline_extra_planes(nr) if rline else 0
+    extra = rline_extra_planes(nr) if (rline or adi) else 0
+    extra += rline_extra_planes(nz) if adi else 0
     return (3 * n_points + 6 + extra) * nz * nr * bytes_per < VMEM_BUDGET
 
 
@@ -526,7 +534,7 @@ def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
 
 def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
                          rtol_wrt: str, rline: bool = False,
-                         has_kv: bool = True):
+                         adi: bool = False, has_kv: bool = True):
     """Tolerance-based per-config solve for the sweep engine: one grid step
     combines this config's operator on-chip and runs the whole while_loop CG
     (stopping rule identical to ops.cg.pcg: ||r|| <= rtol·||b|| for 'b',
@@ -536,7 +544,10 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
 
     ``rline``: precondition with the r-line block-Jacobi PCR solve,
     factored in-kernel per config into scratch (measured 4-7x iteration
-    cut on DAC operators — ops/linesolve.py).
+    cut on DAC operators — ops/linesolve.py). ``adi``: the split-additive
+    r-line + z-line composition R r + Z r − r (linesolve.adi_preconditioner)
+    with BOTH stacks factored in-kernel — the deep-solve regime's
+    preconditioner (BENCHMARKS.md ADI regime map).
 
     ``has_kv=False``: no varying-coefficient stencil (e.g. the recording
     engine's per-step mass projection, whose operator is config-independent)
@@ -552,14 +563,25 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
     sm = sm_ref[0]
     b = b_ref[0]
     x = x0_ref[0]
+    preconditioned = rline or adi
 
     def apply_op(y):
         return sm * _apply7(C, sm * y)
 
-    if rline:
+    if adi:
+        scr_r, scr_z = rest
+        n_r = (scr_r.shape[0] - 1) // 2
+        n_z = (scr_z.shape[0] - 1) // 2
+        _line_factor_into(C, sm, scr_r, n_r, axis=-1)
+        _line_factor_into(C, sm, scr_z, n_z, axis=-2)
+        # r is identically zero on Dirichlet rows (b, x0 scaled by sm), so
+        # the unmasked R r + Z r − r equals the masked XLA composition
+        precond = lambda rr: (_pcr_precond(scr_r, rr, n_r)
+                              + _pcr_precond(scr_z, rr, n_z, axis=-2) - rr)
+    elif rline:
         (scr_ref,) = rest
         n_lv = (scr_ref.shape[0] - 1) // 2
-        _rline_factor_into(C, sm, scr_ref, n_lv)
+        _line_factor_into(C, sm, scr_ref, n_lv)
         precond = lambda rr: _pcr_precond(scr_ref, rr, n_lv)
     else:
         precond = lambda rr: rr
@@ -568,7 +590,7 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
     z = precond(r)
     p = z
     rz = jnp.sum(r * z)
-    rr = jnp.sum(r * r) if rline else rz
+    rr = jnp.sum(r * r) if preconditioned else rz
     rtol = rtol_ref[b_idx, 0]
     ref2 = rr if rtol_wrt == "r0" else jnp.sum(b * b)
     stop2 = rtol * rtol * ref2
@@ -588,7 +610,7 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = z + beta * p
-        rr = jnp.sum(r * r) if rline else rz_new
+        rr = jnp.sum(r * r) if preconditioned else rz_new
         return (x, r, p, rz_new, rr)
 
     def body(state):
@@ -606,12 +628,12 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
 
 
 @functools.partial(jax.jit, static_argnames=("maxiter", "rtol_wrt",
-                                             "interpret", "rline"))
+                                             "interpret", "rline", "adi"))
 def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                         sm: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
                         rtol: float | jnp.ndarray, *, maxiter: int = 4000,
                         rtol_wrt: str = "b", interpret: bool = False,
-                        rline: bool = False):
+                        rline: bool = False, adi: bool = False):
     """Tolerance-based batched per-config VMEM CG (grid over configs).
 
     Same operator convention as ``cg_vmem_batched`` but each config runs to
@@ -619,8 +641,19 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     accuracy at VMEM speed, the sweep twin of ``cg_vmem_tol``. Returns
     (x (B, Nz, Nr), iters (B,) int32). ``rline=True`` preconditions each
     config's solve with the r-line PCR block-Jacobi, factored in-kernel
-    into scratch VMEM (see _rline_factor_into).
+    into scratch VMEM (see _line_factor_into); ``adi=True`` with the
+    split-additive r-line + z-line composition (both stacks in-kernel).
+    adi is for the increment-relative ('r0') and deep-solve regimes where
+    the single-problem kernel measured +27-69% (BENCHMARKS.md ADI regime
+    map); at LOOSE wrt-'b' tolerances its loosely-stopped iterates carry
+    ~20x the solution error of jacobi/rline at the same ||r|| threshold
+    (the split composition is only SPD-in-practice, and its early
+    iterates distribute error into low modes — measured on the tiny
+    sweep protocol), so keep wrt-'b' sweeps on jacobi/rline.
     """
+    if rline and adi:
+        raise ValueError("rline and adi are mutually exclusive (adi "
+                         "already contains the r-line stack)")
     B, nz, nr = b.shape
     npts = A0.shape[0]
     # scalar rtol or per-config (B,) — e.g. the f64-refine degenerate-lane
@@ -631,15 +664,20 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                            memory_space=pltpu.VMEM)
     shared = pl.BlockSpec((npts, nz, nr), _imap_shared,
                           memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((rline_extra_planes(nr), nz, nr), b.dtype)] \
-        if rline else []
+    if adi:
+        scratch = [pltpu.VMEM((rline_extra_planes(nr), nz, nr), b.dtype),
+                   pltpu.VMEM((rline_extra_planes(nz), nz, nr), b.dtype)]
+    elif rline:
+        scratch = [pltpu.VMEM((rline_extra_planes(nr), nz, nr), b.dtype)]
+    else:
+        scratch = []
     # Kv=None: config-independent operator (e.g. the recording engine's
     # mass projection) — drop the varying stencil operand entirely instead
     # of streaming npts zero planes into VMEM every call
     kv_ops, kv_specs = ((), ()) if Kv is None else ((Kv,), (shared,))
     x, it = pl.pallas_call(
         functools.partial(_sweep_cg_tol_kernel, maxiter=maxiter,
-                          rtol_wrt=rtol_wrt, rline=rline,
+                          rtol_wrt=rtol_wrt, rline=rline, adi=adi,
                           has_kv=Kv is not None),
         grid=(B,),
         out_shape=(jax.ShapeDtypeStruct((B, nz, nr), b.dtype),

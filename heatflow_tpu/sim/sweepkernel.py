@@ -29,7 +29,7 @@ from heatflow_tpu.sim.problem import Problem2D
 
 def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                     num_steps, base_k, fixed_iters, rtol, maxiter,
-                    extrapolate, rline=False, rtol_wrt="b",
+                    extrapolate, rline=False, adi=False, rtol_wrt="b",
                     f64_refine=0, record=None, proj_rtol=1e-11,
                     proj_maxiter=400):
     """Whole-batch backward-Euler scan with the per-config Pallas VMEM
@@ -136,7 +136,7 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                     A0_32, Kv_32, dks_32, sm_32,
                     (R / rnorm[:, None, None]).astype(dtype), Z0,
                     rtol_eff, maxiter=maxiter, interpret=interpret,
-                    rline=rline, rtol_wrt="b")
+                    rline=rline, adi=adi, rtol_wrt="b")
                 Y = Y + dY.astype(cdt) * rnorm[:, None, None]
             X = Y
         elif fixed_iters is not None:
@@ -146,7 +146,7 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
             X, _it = cg_vmem_batched_tol(
                 ops["A0"], ops["K_var"], dks, sm, Bv, Y0, rtol,
                 maxiter=maxiter, interpret=interpret, rline=rline,
-                rtol_wrt=rtol_wrt)
+                adi=adi, rtol_wrt=rtol_wrt)
         Un = X * sm + G
         watch = Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
         if record is None:
@@ -272,7 +272,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         # silently degrading a typo'd/unsupported seed to 'previous'
         raise ValueError(f"unknown warm_start {warm_start!r} for sweep "
                          "engines (use 'previous' or 'extrapolate')")
-    if precondition not in ("jacobi", "mg", "rline", "zline"):
+    if precondition not in ("jacobi", "mg", "rline", "zline", "adi"):
         raise ValueError(f"unknown precondition {precondition!r}")
     if f64_refine:
         # mixed-precision sweeps: f64-residual refinement around the f32
@@ -350,14 +350,19 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             vcycle = make_vcycle(level_ops, nu_pre=1, nu_post=1)
             inv_s = 1.0 / jnp.where(s > 0, s, 1.0)
             pre = lambda r: inv_s * vcycle(inv_s * r)
-        elif precondition in ("rline", "zline"):
+        elif precondition in ("rline", "zline", "adi"):
             # per-config line factorization (the operator depends on
             # sample_k) — ~log2(N) elementwise passes, negligible against
             # a transient; vmaps over the config batch like the rest
-            from heatflow_tpu.ops.linesolve import line_preconditioner
+            from heatflow_tpu.ops.linesolve import (adi_preconditioner,
+                                                    line_preconditioner)
             A_full = ops["A0"] + dk * ops["K_var"]
-            pre = line_preconditioner(
-                A_full, s, free, axis=-1 if precondition == "rline" else -2)
+            if precondition == "adi":
+                pre = adi_preconditioner(A_full, s, free)
+            else:
+                pre = line_preconditioner(
+                    A_full, s, free,
+                    axis=-1 if precondition == "rline" else -2)
 
         amp_offset = ops["heat_T"][0] - ic
         coeff = jnp.asarray(-4.0 * np.log(2.0), wdt) / (fwhm * fwhm)
@@ -401,6 +406,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                                rtol=rtol, maxiter=maxiter,
                                extrapolate=extrapolate,
                                rline=precondition == "rline",
+                               adi=precondition == "adi",
                                rtol_wrt=rtol_wrt, f64_refine=f64_refine)
 
     if solver == "vmem":
@@ -409,17 +415,18 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             raise ValueError("solver='vmem' shards the config axis only "
                              "(whole problems stay on one chip); use "
                              "z_shards=1")
-        if precondition == "rline" and fixed_iters is not None:
-            raise ValueError("rline-preconditioned vmem sweeps are "
-                             "tolerance-based (drop fixed_iters)")
-        if precondition not in ("jacobi", "rline"):
+        if precondition in ("rline", "adi") and fixed_iters is not None:
+            raise ValueError(f"{precondition}-preconditioned vmem sweeps "
+                             "are tolerance-based (drop fixed_iters)")
+        if precondition not in ("jacobi", "rline", "adi"):
             raise ValueError("solver='vmem' supports precondition='jacobi' "
-                             "(scaled identity) or 'rline' (in-kernel "
-                             "r-line PCR)")
+                             "(scaled identity), 'rline' (in-kernel "
+                             "r-line PCR) or 'adi' (r-line + z-line)")
         if jax.default_backend() == "tpu":
             from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
             if not fits_in_vmem_batched(nz, nr, dtype,
-                                        rline=precondition == "rline"):
+                                        rline=precondition == "rline",
+                                        adi=precondition == "adi"):
                 raise ValueError(
                     f"sweep working set for a {nz}x{nr} grid exceeds the "
                     "VMEM budget; use solver='xla'")
@@ -558,11 +565,11 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
         if fixed_iters is not None:
             raise ValueError("f64_refine composes with the tolerance-based "
                              "solve (drop fixed_iters)")
-    if precondition not in ("jacobi", "rline"):
-        raise ValueError("solver='vmem' supports precondition='jacobi' "
-                         "or 'rline'")
-    if precondition == "rline" and fixed_iters is not None:
-        raise ValueError("rline-preconditioned vmem sweeps are "
+    if precondition not in ("jacobi", "rline", "adi"):
+        raise ValueError("solver='vmem' supports precondition='jacobi', "
+                         "'rline' or 'adi'")
+    if precondition in ("rline", "adi") and fixed_iters is not None:
+        raise ValueError(f"{precondition}-preconditioned vmem sweeps are "
                          "tolerance-based (drop fixed_iters)")
     if mesh is not None and ("z" in mesh.axis_names
                              and mesh.shape["z"] > 1):
@@ -574,7 +581,8 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
             raise ValueError("the VMEM kernel is f32-only on TPU")
         from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
         if not fits_in_vmem_batched(nz, nr, dtype,
-                                    rline=precondition == "rline"):
+                                    rline=precondition == "rline",
+                                    adi=precondition == "adi"):
             raise ValueError(
                 f"sweep working set for a {nz}x{nr} grid exceeds the "
                 "VMEM budget; use solver='xla'")
@@ -611,6 +619,7 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
             ic=ic, dt=dt, num_steps=num_steps, base_k=base_k,
             fixed_iters=fixed_iters, rtol=rtol, maxiter=maxiter,
             extrapolate=extrapolate, rline=precondition == "rline",
+            adi=precondition == "adi",
             rtol_wrt=rtol_wrt, f64_refine=f64_refine, record=rec,
             proj_rtol=proj_rtol, proj_maxiter=proj_maxiter)[0]
 

@@ -415,3 +415,77 @@ def test_sweep_fn_vmem_rline_matches_jacobi(sweep_setup):
     with pytest.raises(ValueError, match="tolerance-based"):
         make_sweep_fn(problem, solver="vmem", precondition="rline",
                       fixed_iters=10)
+
+
+def test_sweep_tol_kernel_adi_preconditioner(sweep_setup):
+    """Batched tolerance kernel with BOTH line stacks factored in-kernel
+    (adi=True): same converged solutions, fewer iterations than the
+    r-line-only kernel, and the same preconditioned Krylov process as the
+    XLA adi_preconditioner (iteration counts within ulp slack)."""
+    from heatflow_tpu.ops.cg import pcg
+    from heatflow_tpu.ops.linesolve import adi_preconditioner
+    from heatflow_tpu.ops.pallas_cg import cg_vmem_batched_tol
+    from heatflow_tpu.ops.stencil import combine_operator
+    problem = sweep_setup
+    dev = problem.device_arrays(jnp.float64)
+    dt = jnp.asarray(problem.dt, jnp.float64)
+    A0, _ = combine_operator(dev["K"], dev["M"], dev["kappas"],
+                             dev["rho_cvs"], dt)
+    Kv = dev["K"][0]
+    free = dev["free"]
+    rng = np.random.default_rng(7)
+    B = 3
+    dks = jnp.asarray(rng.uniform(0.0, 2.0, B) * float(dt), jnp.float64)
+    diag = A0[0][None] + dks[:, None, None] * Kv[0][None]
+    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free \
+        + dev["dirichlet"]
+    sm = s * free
+    x_true = jnp.asarray(rng.standard_normal((B,) + free.shape)) * free
+    b = jax.vmap(lambda dk, smi, v: smi * apply_stencil(
+        A0 + dk * Kv, smi * v))(dks, sm, x_true)
+    z = jnp.zeros_like(b)
+    xr, itr = cg_vmem_batched_tol(A0, Kv, dks, sm, b, z, 1e-11,
+                                  maxiter=20000, interpret=True, rline=True)
+    xa, ita = cg_vmem_batched_tol(A0, Kv, dks, sm, b, z, 1e-11,
+                                  maxiter=20000, interpret=True, adi=True)
+    for i in range(B):
+        np.testing.assert_allclose(np.asarray(xa[i]), np.asarray(x_true[i]),
+                                   rtol=1e-7, atol=1e-8)
+        assert int(ita[i]) < int(itr[i]), (i, int(ita[i]), int(itr[i]))
+        # same preconditioned operator as the XLA composition
+        A_i = A0 + dks[i] * Kv
+        apply_s = lambda y: sm[i] * apply_stencil(A_i, sm[i] * y)
+        pre = adi_preconditioner(A_i, s[i], free)
+        ref = pcg(apply_s, b[i], z[i], precond=pre, mask=free,
+                  rtol=1e-11, maxiter=20000, rtol_wrt="b")
+        assert abs(int(ita[i]) - int(ref.iters)) \
+            <= max(4, int(ref.iters) // 10), (int(ita[i]), int(ref.iters))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cg_vmem_batched_tol(A0, Kv, dks, sm, b, z, 1e-11, maxiter=100,
+                            interpret=True, rline=True, adi=True)
+
+
+def test_sweep_fn_vmem_adi_matches_jacobi(sweep_setup):
+    """make_sweep_fn(solver='vmem', precondition='adi'): converged traces
+    equal the jacobi-kernel traces at tight tolerance; fixed_iters is
+    rejected (tolerance-based only, like rline)."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+    problem = sweep_setup
+    ks = np.array([2.0, 3.8, 7.0])
+    fs = np.array([5e-6, 6e-6, 8e-6])
+    ref = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-10,
+                                   solver="vmem")(ks, fs))
+    got = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-10,
+                                   solver="vmem",
+                                   precondition="adi")(ks, fs))
+    np.testing.assert_allclose(got, ref, rtol=1e-8,
+                               atol=1e-8 * np.abs(ref).max())
+    # the XLA sweep path accepts 'adi' too (per-config adi_preconditioner)
+    got_x = np.asarray(make_sweep_fn(problem, dtype=jnp.float64, rtol=1e-10,
+                                     solver="xla",
+                                     precondition="adi")(ks, fs))
+    np.testing.assert_allclose(got_x, ref, rtol=1e-8,
+                               atol=1e-8 * np.abs(ref).max())
+    with pytest.raises(ValueError, match="tolerance-based"):
+        make_sweep_fn(problem, solver="vmem", precondition="adi",
+                      fixed_iters=10)

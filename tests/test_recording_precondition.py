@@ -145,3 +145,26 @@ def test_sweep_driver_resolves_recording_precondition(tmp_path, dtype,
     assert meta["precondition"] == expected
     raw = os.path.join(results[0]["output_dir"], "radial_gradient_raw.csv")
     assert os.path.isfile(raw)
+
+
+def test_recording_vmem_adi_matches_jacobi_on_converged_solves(tmp_path):
+    """The adi-preconditioned VMEM recording sweep (both line stacks
+    factored in-kernel per config) produces the same artifacts as the
+    jacobi VMEM recording engine when both are converged."""
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn_recording
+
+    _, problem = _tiny_problem(tmp_path)
+    ks = np.array([2.0, 6.0])
+    fs = np.array([4e-6, 6e-6])
+    arts = {}
+    for prec in ("jacobi", "adi"):
+        fn = make_sweep_fn_recording(problem, dtype=jnp.float32, rtol=1e-6,
+                                     solver="vmem", precondition=prec)
+        ys = fn(ks, fs)
+        arts[prec] = {k: np.asarray(ys[k]) for k in ("watch", "band", "axis")}
+    # same per-family tolerance ladder as the rline twin above
+    for k, tol in (("watch", 1e-3), ("band", 1e-2), ("axis", 5e-2)):
+        a, b = arts["jacobi"][k], arts["adi"][k]
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        rng = float(np.abs(a).max()) or 1.0
+        np.testing.assert_allclose(b, a, atol=tol * rng, rtol=0)
