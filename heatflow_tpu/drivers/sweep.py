@@ -459,12 +459,15 @@ def main(argv=None):
                         "Default: extrapolate for f32 --record-gradient "
                         "sweeps (+35-40%% throughput at flat accuracy — "
                         "BENCHMARKS.md), previous otherwise")
-    p.add_argument("--precondition", choices=["jacobi", "rline", "mg"],
+    p.add_argument("--precondition",
+                   choices=["jacobi", "rline", "adi", "mg"],
                    default=None,
                    help="CG preconditioner (default: rline for f32 "
                         "--record-gradient sweeps — jacobi's unconverged "
                         "f32 error sits in the near-axis modes the gradient "
-                        "artifacts amplify ~1/h_r; jacobi otherwise)")
+                        "artifacts amplify ~1/h_r; jacobi otherwise. 'adi' "
+                        "adds the z-line stack — measured SLOWER than rline "
+                        "on the warm-started sweep protocol, BENCHMARKS.md)")
     p.add_argument("--f64-refine", type=int, default=0, metavar="N",
                    help="mixed-precision sweeps (--solver vmem, f32): N "
                         "passes of f64-operator residual refinement around "

@@ -147,10 +147,11 @@ def auto_selects_vmem(mesh, dtype, precondition="jacobi") -> bool:
     if overlay is None or jax.default_backend() != "tpu" \
             or jnp.dtype(dtype) != jnp.float32:
         return False
-    from heatflow_tpu.ops.pallas_cg import fits_in_vmem, rline_extra_planes
+    from heatflow_tpu.ops.pallas_cg import (adi_extra_planes, fits_in_vmem,
+                                            rline_extra_planes)
     oshape = tuple(int(s) for s in overlay["shape"])
-    extra = (rline_extra_planes(oshape[1])
-             if precondition == "rline" else 0)
+    extra = (rline_extra_planes(oshape[1]) if precondition == "rline"
+             else adi_extra_planes(*oshape) if precondition == "adi" else 0)
     return fits_in_vmem(*oshape, dtype, n_points=9, extra_planes=extra)
 
 
@@ -170,7 +171,8 @@ def sweep_auto_selects_vmem(mesh, dtype, precondition="jacobi") -> bool:
     from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
     oshape = tuple(int(s) for s in overlay["shape"])
     return fits_in_vmem_batched(*oshape, dtype, n_points=9,
-                                rline=precondition == "rline")
+                                rline=precondition == "rline",
+                                adi=precondition == "adi")
 
 
 def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
@@ -214,11 +216,12 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                  proj_rtol, proj_maxiter, record_gradient, record_fields,
                  rtol_wrt, differentiable, solver, warm_start, precondition,
                  f64_refine)
-    if precondition not in ("jacobi", "rline"):
+    if precondition not in ("jacobi", "rline", "adi"):
         raise ValueError(f"unknown precondition {precondition!r}")
-    if precondition == "rline" and solver not in ("vmem", "auto"):
-        raise ValueError("rline preconditioning on unstructured problems "
-                         "runs the grid-overlay VMEM path (solver='vmem')")
+    if precondition in ("rline", "adi") and solver not in ("vmem", "auto"):
+        raise ValueError(f"{precondition} preconditioning on unstructured "
+                         "problems runs the grid-overlay VMEM path "
+                         "(solver='vmem')")
     cache = problem.__dict__.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
@@ -264,11 +267,13 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         if overlay is None:
             raise ValueError("solver='vmem' needs a grid-overlay mesh "
                              "(the VMEM kernel is stencil-form only)")
-        from heatflow_tpu.ops.pallas_cg import (fits_in_vmem,
+        from heatflow_tpu.ops.pallas_cg import (adi_extra_planes,
+                                                fits_in_vmem,
                                                 rline_extra_planes)
         oshape0 = tuple(int(s) for s in overlay["shape"])
-        extra = (rline_extra_planes(oshape0[1])
-                 if precondition == "rline" else 0)
+        extra = (rline_extra_planes(oshape0[1]) if precondition == "rline"
+                 else adi_extra_planes(*oshape0)
+                 if precondition == "adi" else 0)
         if not fits_in_vmem(*oshape0, dtype, n_points=9, extra_planes=extra):
             raise ValueError("problem exceeds the VMEM budget")
         if not vmem_interpret and dtype != jnp.float32:
@@ -276,15 +281,15 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         use_vmem = True
     elif solver == "auto":
         use_vmem = auto_selects_vmem(problem.mesh, dtype, precondition)
-    if precondition == "rline" and not use_vmem:
-        # the only unstructured rline engine is the overlay VMEM kernel —
-        # running the ELL/XLA path here would silently drop the
-        # preconditioner (drivers pre-resolve via auto_selects_vmem and
+    if precondition in ("rline", "adi") and not use_vmem:
+        # the only unstructured line-preconditioned engine is the overlay
+        # VMEM kernel — running the ELL/XLA path here would silently drop
+        # the preconditioner (drivers pre-resolve via auto_selects_vmem and
         # fall back to jacobi for DEFAULTED rline; an explicit request
         # errors instead of lying)
         raise ValueError(
-            "rline preconditioning on unstructured problems runs the "
-            "grid-overlay VMEM engine, which was not selected here (no "
+            f"{precondition} preconditioning on unstructured problems runs "
+            "the grid-overlay VMEM engine, which was not selected here (no "
             "overlay, exceeds the VMEM budget, or off-TPU/non-f32 under "
             "solver='auto'); use precondition='jacobi' or solver='vmem'")
     if overlay is not None:
@@ -351,13 +356,17 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
         s_mp = jax.lax.rsqrt(jnp.where(Mp_diag > 0, Mp_diag, 1.0))
         apply_mp_s = lambda y: s_mp * apply_Mp(s_mp * y)
 
-        pcr = None
-        if use_vmem and precondition == "rline" and not f64_refine:
-            # r-line PCR factors on the overlay lattice (9-point operator's
-            # r-couplings are planes 3/4, same as the 7-point layout) —
-            # factored once per transient, outside the scan
+        pcr = pcr_z = None
+        if use_vmem and precondition in ("rline", "adi") and not f64_refine:
+            # line PCR factors on the overlay lattice (9-point operator's
+            # r-couplings are planes 3/4, z-couplings 1/2 — same slots as
+            # the 7-point layout) — factored once per transient, outside
+            # the scan; 'adi' adds the z stack (split-additive composition)
             from heatflow_tpu.ops.pallas_cg import pcr_pack
             pcr = pcr_pack(A9, s.reshape(oshape), free.reshape(oshape))
+            if precondition == "adi":
+                pcr_z = pcr_pack(A9, s.reshape(oshape),
+                                 free.reshape(oshape), axis=-2)
 
         if f64_refine:
             # f32 casts of the scaled system for the inner correction
@@ -374,10 +383,13 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                     Mp32, v.reshape(oshape)).ravel()
                 apply_G32 = lambda v: apply_stencil(
                     G32, v.reshape(oshape)).ravel()
-                if use_vmem and precondition == "rline":
+                if use_vmem and precondition in ("rline", "adi"):
                     from heatflow_tpu.ops.pallas_cg import pcr_pack
                     pcr = pcr_pack(A9_32, s32.reshape(oshape),
                                    free32.reshape(oshape))
+                    if precondition == "adi":
+                        pcr_z = pcr_pack(A9_32, s32.reshape(oshape),
+                                         free32.reshape(oshape), axis=-2)
             else:
                 A_vals32 = A_vals.astype(dtype)
                 Mp32v, G32v = dev["Mp"].astype(dtype), dev["G"].astype(dtype)
@@ -406,7 +418,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                         A9_32, (s32 * free32).reshape(oshape),
                         r32.reshape(oshape), jnp.zeros(oshape, dtype),
                         rtol_eff, maxiter=maxiter, rtol_wrt="b",
-                        interpret=vmem_interpret, pcr=pcr)
+                        interpret=vmem_interpret, pcr=pcr, pcr_z=pcr_z)
                     dy = dy2.ravel()
                 else:
                     dsol = pcg(apply_s32, r32, jnp.zeros((n,), dtype),
@@ -464,7 +476,7 @@ def make_simulate_fn_unstructured(problem: ProblemUnstructured, *,
                     A9, (s * free).reshape(oshape),
                     (b * free).reshape(oshape), y0.reshape(oshape), rtol,
                     maxiter=maxiter, rtol_wrt=rtol_wrt,
-                    interpret=vmem_interpret, pcr=pcr)
+                    interpret=vmem_interpret, pcr=pcr, pcr_z=pcr_z)
                 u = x2.ravel() * s * free + g
                 outs = {"cg_iters": iters}
             else:
@@ -554,7 +566,7 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
     device runs the Pallas kernel on its shard — same parity as the
     structured ``make_sweep_fn(mesh=...)``). ``num_steps`` overrides the
     problem's step count (time-chunked execution). ``rtol_wrt``,
-    ``precondition`` ('jacobi'/'rline') and ``f64_refine`` mirror the
+    ``precondition`` ('jacobi'/'rline'/'adi') and ``f64_refine`` mirror the
     structured maker (shared scan — see vmem_sweep_scan).
 
     ``record_gradient``: artifact-parity recording — the per-step
@@ -577,15 +589,16 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
             raise ValueError("the VMEM kernel is f32-only on TPU")
         from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
         if not fits_in_vmem_batched(nz, nr, dtype, n_points=9,
-                                    rline=precondition == "rline"):
+                                    rline=precondition == "rline",
+                                    adi=precondition == "adi"):
             raise ValueError(
                 f"sweep working set for the {nz}x{nr} overlay exceeds the "
                 "VMEM budget; use solver='xla'")
-    if precondition not in ("jacobi", "rline"):
-        raise ValueError("solver='vmem' supports precondition='jacobi' "
-                         "or 'rline'")
-    if precondition == "rline" and fixed_iters is not None:
-        raise ValueError("rline-preconditioned vmem sweeps are "
+    if precondition not in ("jacobi", "rline", "adi"):
+        raise ValueError("solver='vmem' supports precondition='jacobi', "
+                         "'rline' or 'adi'")
+    if precondition in ("rline", "adi") and fixed_iters is not None:
+        raise ValueError(f"{precondition}-preconditioned vmem sweeps are "
                          "tolerance-based (drop fixed_iters)")
 
     # f64_refine carries fields/residuals in f64 (ops assembled at f64,
@@ -639,6 +652,7 @@ def _sweep_vmem_unstructured(problem: ProblemUnstructured, m_idx: int, *,
                                rtol=rtol, maxiter=maxiter,
                                extrapolate=extrapolate,
                                rline=precondition == "rline",
+                               adi=precondition == "adi",
                                rtol_wrt=rtol_wrt, f64_refine=f64_refine,
                                record=rec, proj_rtol=proj_rtol,
                                proj_maxiter=proj_maxiter)
@@ -754,7 +768,7 @@ def make_sweep_fn_unstructured(problem: ProblemUnstructured, *,
     ``num_steps`` overrides the chunk length for segmented execution
     (``.segment`` — solver='vmem' overlay path).
 
-    ``rtol_wrt``, ``precondition`` ('jacobi'/'rline', vmem) and
+    ``rtol_wrt``, ``precondition`` ('jacobi'/'rline'/'adi', vmem) and
     ``f64_refine`` (vmem, f32+x64: mixed-precision f64-residual refinement
     per lane) mirror the structured ``make_sweep_fn``."""
     if f64_refine:

@@ -84,8 +84,11 @@ def resolve_recording_precondition(record_gradient: bool, dtype,
     same-class artifact error vs rline on the flagship recording point
     (interleaved A/B, benchmarks/expt_adi_record.py — under wrt-r0
     stopping with extrapolated seeds rline grinds near the f32 floor).
-    Batched sweeps and overlay meshes keep 'rline': their VMEM kernels
-    factor lines in-kernel along r only.
+    Batched sweeps and overlay meshes keep 'rline': adi measured 15-19%
+    SLOWER on every batched sweep row (the batched kernels re-factor the
+    stacks per config per solve, where the single-problem kernel pays
+    once per transient — BENCHMARKS.md "ADI in the batched sweep
+    kernels"); it stays available as an explicit opt-in there.
     """
     import jax.numpy as jnp
     if not (record_gradient and jnp.dtype(dtype) == jnp.float32
