@@ -102,7 +102,16 @@ def main():
     def parse_row(row):
         pre = "jacobi"
         if "+" in row:
-            row, pre = row.split("+", 1)   # e.g. r0:1e-4+adi
+            # split on the LAST '+' so an rtol with an explicit positive
+            # exponent (b:1e+3) is not mis-split into 'b:1e' + precond '3'
+            head, tail = row.rsplit("+", 1)   # e.g. r0:1e-4+adi
+            if tail.isalpha():
+                if tail not in ("rline", "adi", "mg", "zline", "jacobi"):
+                    raise SystemExit(
+                        f"unknown preconditioner suffix {tail!r} in row "
+                        f"{row!r} (known: rline, adi, mg, zline, jacobi)")
+                row, pre = head, tail
+            # else: the '+' is part of the rtol (e.g. b:1e+3) — no split
         if row == "fixed120":
             return row + ("" if pre == "jacobi" else f"+{pre}"), dict(
                 solver="vmem", fixed_iters=120, precondition=pre)

@@ -692,7 +692,13 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
             flops=B * maxiter * 24 * nz * nr // 4,
-            bytes_accessed=(14 + 4 * B) * nz * nr * 4,
+            # per-config traffic: ~4 solution planes plus the PCR scratch
+            # planes the per-iteration _pcr_precond passes read when
+            # preconditioned (rline: the r stack; adi: both stacks)
+            bytes_accessed=(14 + (4 + (rline_extra_planes(nr)
+                                       if (rline or adi) else 0)
+                                  + (rline_extra_planes(nz) if adi else 0))
+                            * B) * nz * nr * 4,
             transcendentals=0),
         interpret=interpret,
     )(dks, rtol_arr, A0, *kv_ops, sm, b, x0)

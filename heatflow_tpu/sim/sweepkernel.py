@@ -288,6 +288,22 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         if fixed_iters is not None:
             raise ValueError("f64_refine composes with the tolerance-based "
                              "solve (drop fixed_iters)")
+        if precondition == "adi":
+            # the refined inner correction solves stop wrt their own rhs
+            # at 'b' — exactly the loose wrt-‖b‖ regime where adi's
+            # loosely-stopped iterates carry ~20x the solution error of
+            # jacobi/rline at the same ||r|| threshold (cg_vmem_batched_tol
+            # docstring), and the FINAL pass's correction error is never
+            # re-residualized. rline gives the same iteration cut without
+            # the caveat.
+            import warnings
+            warnings.warn(
+                "precondition='adi' with f64_refine: the last refinement "
+                "pass's adi correction error is unchecked (inner solves "
+                "stop wrt 'b', the regime where adi carries ~20x the "
+                "equal-rtol solution error — see cg_vmem_batched_tol); "
+                "prefer precondition='rline' for refined sweeps",
+                stacklevel=2)
     # refine carries fields and residuals in f64: assemble the master
     # operator and the scan constants at f64, cast f32 kernel operands
     # inside vmem_sweep_scan
