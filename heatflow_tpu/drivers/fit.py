@@ -78,13 +78,61 @@ def fit_uncertainty(objective, k: float, fwhm: float, *, dtype=jnp.float64):
     return float(se[0]), float(se[1]), corr
 
 
+def resolve_fit_solver(dtype, rtol, rtol_wrt, solver, precondition,
+                       problem=None):
+    """Resolve the fit's solver stack to CONVERGING, fast defaults per
+    dtype — the same convention run2d/sweep use (an unresolved f32 fit at
+    the f64 rtol grinds every CG solve to maxiter: the rtol sits below the
+    f32 residual floor, BENCHMARKS.md).
+
+    f64: rtol 1e-10 wrt ‖b‖, XLA solver, jacobi — the exact-parity regime.
+    f32: rtol 1e-5 wrt the warm-start residual (increment-relative — the
+    only stopping rule that converges at f32 on DAC operators) with rline
+    preconditioning, routed through the VMEM engine on TPU
+    (``sweepkernel.make_sweep_fn`` one_config → ``pallas_cg.cg_vmem_solve``,
+    implicit-diff at engine speed). 1e-5, tighter than run2d's 1e-4 trace
+    default, because the OBJECTIVE inherits the solve error: measured
+    normalized-RMSE floor ~7e-3 at rtol 1e-4 vs ~1e-4 at 1e-5 — the former
+    is the scale of real experimental fit minima (BENCHMARKS.md ~0.007),
+    the latter comfortably below it. Returns
+    (rtol, rtol_wrt, solver, precondition)."""
+    f64 = jnp.dtype(dtype) == jnp.float64
+    if rtol is None:
+        rtol = 1e-10 if f64 else 1e-5
+    if rtol_wrt is None:
+        rtol_wrt = "b" if f64 else "r0"
+    if solver in (None, "auto"):
+        use_vmem = (jax.default_backend() == "tpu"
+                    and jnp.dtype(dtype) == jnp.float32)
+        if use_vmem and problem is not None \
+                and hasattr(problem, "mesh") \
+                and hasattr(problem.mesh, "shape"):
+            from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
+            nz, nr = problem.mesh.shape
+            use_vmem = fits_in_vmem_batched(nz, nr, dtype, rline=True)
+        solver = "vmem" if use_vmem else "xla"
+    if precondition is None:
+        precondition = "jacobi" if f64 else "rline"
+    return rtol, rtol_wrt, solver, precondition
+
+
 def experimental_objective(problem, *, dtype=jnp.float64,
-                           rtol: float = 1e-10, maxiter: int = 20000,
-                           vary_material: str = "p_sample"):
+                           rtol: float | None = None, maxiter: int = 20000,
+                           vary_material: str = "p_sample",
+                           rtol_wrt: str | None = None,
+                           solver: str = "auto",
+                           precondition: str | None = None):
     """Return objective(k, fwhm) -> normalized o-side RMSE vs the problem's
     heating-curve 'oside' trace (the reference's fit metric,
     ref no_diamond.py:65-99). Accepts Problem2D (stencil path) or
-    ProblemUnstructured (overlay/ELL path, implicit-diff solves)."""
+    ProblemUnstructured (overlay/ELL path, implicit-diff solves).
+
+    ``rtol``/``rtol_wrt``/``solver``/``precondition`` default per dtype via
+    :func:`resolve_fit_solver` — f32 resolves to the converging
+    increment-relative regime on the fast engines (rline-preconditioned
+    VMEM kernel on TPU), f64 to the exact-parity XLA path."""
+    rtol, rtol_wrt, solver, precondition = resolve_fit_solver(
+        dtype, rtol, rtol_wrt, solver, precondition, problem)
     heating = problem.heating
     if heating.oside is None:
         raise ValueError("heating curve lacks an 'oside' column to fit")
@@ -99,13 +147,19 @@ def experimental_objective(problem, *, dtype=jnp.float64,
     if isinstance(problem, ProblemUnstructured):
         from heatflow_tpu.sim.unstructured import (
             make_simulate_fn_unstructured, make_sweep_fn_unstructured)
-        fnb = make_sweep_fn_unstructured(problem, dtype=dtype, rtol=rtol,
-                                         maxiter=maxiter,
-                                         vary_material=vary_material)
+        # the overlay VMEM engines need a lattice embedding; 'auto' on an
+        # unstructured problem keeps the coarse sweep on whatever the
+        # batched maker supports and the refinement on the implicit-diff
+        # XLA path (precondition resolved back to jacobi there — the
+        # differentiable unstructured branch is the XLA pcg_solve)
+        fnb = make_sweep_fn_unstructured(
+            problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
+            vary_material=vary_material, rtol_wrt=rtol_wrt)
         fn1 = make_simulate_fn_unstructured(problem, dtype=dtype, rtol=rtol,
                                             maxiter=maxiter,
                                             record_gradient=False,
-                                            differentiable=True)
+                                            differentiable=True,
+                                            rtol_wrt=rtol_wrt)
         times = jnp.asarray(fnb.times, dtype)
         tag_order = sorted(problem.mesh.material_tags.items(),
                            key=lambda kv: kv[1])
@@ -127,7 +181,10 @@ def experimental_objective(problem, *, dtype=jnp.float64,
         objective.residuals = residuals
         return objective
 
-    fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter)
+    warm = "extrapolate" if jnp.dtype(dtype) == jnp.float32 else "previous"
+    fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
+                       rtol_wrt=rtol_wrt, solver=solver,
+                       precondition=precondition, warm_start=warm)
     times = jnp.asarray(fn.times, dtype)
 
     def objective(k, fwhm):
@@ -144,16 +201,26 @@ def experimental_objective(problem, *, dtype=jnp.float64,
 def fit_parameters(problem, *, k_range=(1.0, 100.0),
                    fwhm_range=(1e-6, 1e-4), coarse=(8, 6), n_starts: int = 3,
                    adam_steps: int = 60, lr: float = 0.05,
-                   dtype=jnp.float64, rtol: float = 1e-10,
+                   dtype=jnp.float64, rtol: float | None = None,
                    verbose: bool = False,
                    coarse_chunk: int = 8,
-                   uncertainty: bool = True) -> FitResult:
+                   uncertainty: bool = True,
+                   rtol_wrt: str | None = None, solver: str = "auto",
+                   precondition: str | None = None,
+                   maxiter: int = 20000) -> FitResult:
     """Coarse sweep + parallel Adam refinement in log space.
+
+    Solver settings default per dtype via :func:`resolve_fit_solver` —
+    passing ``dtype=float32`` alone gives converging increment-relative
+    stopping on the rline/VMEM engines (on TPU), not the f64 rtol that
+    f32 CG can never reach.
 
     Device calls are kept bounded (coarse sweep chunked by ``coarse_chunk``
     configs; one Adam step per call) — this environment's TPU relay aborts
     single calls running past ~a minute."""
-    obj = experimental_objective(problem, dtype=dtype, rtol=rtol)
+    obj = experimental_objective(problem, dtype=dtype, rtol=rtol,
+                                 rtol_wrt=rtol_wrt, solver=solver,
+                                 precondition=precondition, maxiter=maxiter)
 
     ks = np.logspace(np.log10(k_range[0]), np.log10(k_range[1]), coarse[0])
     fs = np.logspace(np.log10(fwhm_range[0]), np.log10(fwhm_range[1]),
@@ -249,6 +316,16 @@ def main(argv=None):
     p.add_argument("--fwhm-range", type=float, nargs=2,
                    default=[1e-6, 1e-4])
     p.add_argument("--adam-steps", type=int, default=60)
+    p.add_argument("--rtol", type=float, default=None,
+                   help="CG tolerance (default: per-dtype converging "
+                        "setting — 1e-10 wrt b at f64, 1e-5 wrt r0 at f32)")
+    p.add_argument("--solver", default="auto",
+                   choices=["auto", "xla", "vmem"],
+                   help="'auto': VMEM engine for f32 on TPU, XLA otherwise")
+    p.add_argument("--precondition", default=None,
+                   choices=["jacobi", "rline", "adi", "mg"],
+                   help="CG preconditioner (default: rline at f32, "
+                        "jacobi at f64)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -265,7 +342,8 @@ def main(argv=None):
     res = fit_parameters(problem, k_range=tuple(args.k_range),
                          fwhm_range=tuple(args.fwhm_range),
                          adam_steps=args.adam_steps, dtype=default_dtype(),
-                         verbose=True)
+                         rtol=args.rtol, solver=args.solver,
+                         precondition=args.precondition, verbose=True)
     print(f"BEST FIT: k = {res.k:.4f} W/m/K, FWHM = {res.fwhm:.4e} m, "
           f"o-side RMSE = {res.rmse:.6f}")
     if res.k_stderr is not None:

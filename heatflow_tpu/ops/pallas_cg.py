@@ -398,6 +398,47 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
     return x, it[0, 0]
 
 
+def cg_vmem_solve(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
+                  x0: jnp.ndarray, rtol, *, maxiter: int = 4000,
+                  rtol_wrt: str = "r0", interpret: bool = False,
+                  pcr=None, pcr_z=None) -> jnp.ndarray:
+    """Differentiable VMEM-resident CG via implicit differentiation.
+
+    Wraps :func:`cg_vmem_tol` in ``lax.custom_linear_solve(symmetric=True)``
+    — the VMEM twin of ``ops.cg.pcg_solve``: reverse-mode gradients cost one
+    additional VMEM solve (the adjoint system) instead of unrolling the
+    kernel's while_loop, which makes the fast engines (rline/adi PCR
+    preconditioning included, via ``pcr``/``pcr_z``) available to
+    gradient-based experimental fitting (drivers/fit.py; the reference's
+    whole fitting story is brute-force scans, ref sweep_test.py:96-115).
+
+    Same operator convention as ``cg_vmem_tol``: solves sm·A·sm y = b with
+    b and x0 vanishing at constrained dofs, sm = rsqrt(diag(A))·free.
+    Gradients flow through A, sm, b and x0 by the implicit-function
+    theorem; the pcr factor stacks only steer the inner solves and are
+    never differentiated (custom_linear_solve does not differentiate
+    ``solve_fn``).
+
+    The tangent/adjoint systems' rhs is derivative-scale: the seed is
+    scaled by the ⟨rhs, b⟩/⟨b, b⟩ projection coefficient — exactly 1 for
+    the primal call (bit-identical to seeding with x0), ≈0 for derivative
+    calls, which then start near zero with an rhs-scale stop reference in
+    both ``rtol_wrt`` modes (the same analysis as ``pcg_solve``)."""
+    bb = jnp.sum(b * b)
+    bb_safe = jnp.where(bb > 0, bb, 1.0)
+
+    def solve_fn(_mv, rhs):
+        c = jnp.sum(rhs * b) / bb_safe
+        x, _it = cg_vmem_tol(A, sm, rhs, c * x0, rtol, maxiter=maxiter,
+                             rtol_wrt=rtol_wrt, interpret=interpret,
+                             pcr=pcr, pcr_z=pcr_z)
+        return x
+
+    from heatflow_tpu.ops.stencil import apply_stencil
+    op = lambda v: sm * apply_stencil(A, sm * v)
+    return jax.lax.custom_linear_solve(op, b, solve_fn, symmetric=True)
+
+
 def pcr_pack(A: jnp.ndarray, s: jnp.ndarray, free: jnp.ndarray,
              axis: int = -1) -> jnp.ndarray:
     """Precompute the FOLDED line-PCR factor stack for

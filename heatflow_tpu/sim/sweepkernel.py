@@ -345,6 +345,18 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         ops["mg"] = mg_base
 
     extrapolate = warm_start == "extrapolate"
+    # Single-config solves ride the VMEM kernel too when the batch engine
+    # does — wrapped in custom_linear_solve (pallas_cg.cg_vmem_solve), so
+    # ``one_config`` stays differentiable at engine speed: this is the
+    # path that makes the gradient-based fit (drivers/fit.py) run on the
+    # fast rline/adi engines instead of the XLA-jacobi solver. f64_refine
+    # keeps its plain f64-operator XLA fallback; a fixed iteration budget
+    # keeps the pcg_fixed trajectory (pinned by cross-implementation
+    # tests); TPU kernels are f32-only (interpret mode covers the rest).
+    vmem_one_config = (solver == "vmem" and fixed_iters is None
+                       and not f64_refine
+                       and (jax.default_backend() != "tpu"
+                            or jnp.dtype(dtype) == jnp.float32))
 
     def one_config(ops, sample_k, fwhm, u0=None, step0=0, u_pp=None):
         # wdt (not dtype): under f64_refine the ops/state are f64 — this
@@ -357,6 +369,16 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
         apply_s = lambda y: s * apply_A(s * y)
 
+        A_full = sm_v = pcr = pcr_z = None
+        if vmem_one_config:
+            from heatflow_tpu.ops.pallas_cg import pcr_pack
+            A_full = ops["A0"] + dk * ops["K_var"]
+            sm_v = s * free
+            if precondition in ("rline", "adi"):
+                pcr = pcr_pack(A_full, s, free)
+                if precondition == "adi":
+                    pcr_z = pcr_pack(A_full, s, free, axis=-2)
+
         pre = None
         if ops["mg"] is not None:
             from heatflow_tpu.ops.multigrid import make_vcycle
@@ -366,10 +388,12 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             vcycle = make_vcycle(level_ops, nu_pre=1, nu_post=1)
             inv_s = 1.0 / jnp.where(s > 0, s, 1.0)
             pre = lambda r: inv_s * vcycle(inv_s * r)
-        elif precondition in ("rline", "zline", "adi"):
+        elif precondition in ("rline", "zline", "adi") \
+                and not vmem_one_config:
             # per-config line factorization (the operator depends on
             # sample_k) — ~log2(N) elementwise passes, negligible against
             # a transient; vmaps over the config batch like the rest
+            # (the vmem path factors the same stacks via pcr_pack above)
             from heatflow_tpu.ops.linesolve import (adi_preconditioner,
                                                     line_preconditioner)
             A_full = ops["A0"] + dk * ops["K_var"]
@@ -397,7 +421,13 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                  - (Ag0 + amp * Ag1)) * s * free
             seed = 2.0 * u_prev - u_pp if extrapolate else u_prev
             y0 = (seed / jnp.where(s > 0, s, 1.0)) * free
-            if fixed_iters is not None:
+            if vmem_one_config:
+                from heatflow_tpu.ops.pallas_cg import cg_vmem_solve
+                x = cg_vmem_solve(A_full, sm_v, b, y0, rtol,
+                                  maxiter=maxiter, rtol_wrt=rtol_wrt,
+                                  interpret=jax.default_backend() != "tpu",
+                                  pcr=pcr, pcr_z=pcr_z)
+            elif fixed_iters is not None:
                 x = pcg_fixed(apply_s, b, y0, precond=pre, mask=free,
                               iters=fixed_iters).x
             else:
