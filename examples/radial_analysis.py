@@ -5,12 +5,16 @@ viewer."""
 
 import argparse
 import os
-import sys
 
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, ROOT)
+
+try:
+    import heatflow_tpu  # noqa: F401  (pip-installed)
+except ImportError:      # source checkout without an install
+    import sys
+    sys.path.insert(0, ROOT)
 
 from heatflow_tpu.analysis.radial import RadialGradientPlotter
 from heatflow_tpu.analysis.splitnormal import (analyze_split_normal_fits,
