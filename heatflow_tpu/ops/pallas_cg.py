@@ -216,10 +216,73 @@ def adi_extra_planes(nz: int, nr: int) -> int:
     return rline_extra_planes(nr) + rline_extra_planes(nz)
 
 
+def _merged_cg_loop(apply_op, precond, b, x, stop2, rr0, *, maxiter: int,
+                    check_every: int, preconditioned: bool):
+    """Chronopoulos–Gear (merged-dot) PCG loop body, shared by the
+    single-problem and batched tolerance kernels.
+
+    The standard recurrence serializes its two reductions: ⟨p, Ap⟩ must
+    complete before the x/r update that feeds ⟨r, z⟩. This variant keeps
+    q = A p as an extra vector and computes ALL per-iteration reductions
+    (γ = ⟨r, u⟩, δ = ⟨w, u⟩, and ‖r‖² when preconditioned) back-to-back on
+    freshly produced data — the VPU pipelines them instead of idling
+    between two dependency chains. Cost: one extra AXPY (q) and one extra
+    VMEM plane; measured ~4.5%/iteration on the plain kernel (round-2
+    marginal-slope protocol) and promoted default-on in round 4 after an
+    interleaved A/B at the official flagship point (BENCHMARKS.md).
+
+    α is produced by the coupled recurrence α' = γ'/(δ − βγ'/α), which is
+    algebraically identical to γ'/⟨p', A p'⟩ but rounds differently — the
+    Krylov trajectory is tolerance-equal, not bitwise, to the standard
+    kernel (stopping still tests the TRUE recurrence residual, so
+    converged answers agree at solve tolerance). ``b`` here is the
+    PRECOMPUTED initial residual r0 (callers have it already — recomputing
+    it would cost one extra apply per solve, ~1-5% on warm-started
+    solves)."""
+    r = b
+    u = precond(r)
+    w = apply_op(u)
+    gamma = jnp.sum(r * u)
+    delta = jnp.sum(w * u)
+    alpha = gamma / jnp.where(delta != 0, delta, 1.0)
+    p = u
+    q = w
+
+    def cond(state):
+        _x, _r, _p, _q, _al, _ga, rr, k = state
+        return jnp.logical_and(k < maxiter, rr > stop2)
+
+    def one_iter(_i, state):
+        x, r, p, q, alpha, gamma, _rr = state
+        x = x + alpha * p
+        r = r - alpha * q
+        u = precond(r)
+        w = apply_op(u)
+        gamma_new = jnp.sum(r * u)
+        delta = jnp.sum(w * u)
+        rr = jnp.sum(r * r) if preconditioned else gamma_new
+        beta = gamma_new / jnp.where(gamma != 0, gamma, 1.0)
+        denom = delta - beta * gamma_new / jnp.where(alpha != 0, alpha, 1.0)
+        alpha = gamma_new / jnp.where(denom != 0, denom, 1.0)
+        p = u + beta * p
+        q = w + beta * q
+        return (x, r, p, q, alpha, gamma_new, rr)
+
+    def body(state):
+        x, r, p, q, alpha, gamma, rr, k = state
+        x, r, p, q, alpha, gamma, rr = jax.lax.fori_loop(
+            0, check_every, one_iter, (x, r, p, q, alpha, gamma, rr))
+        return (x, r, p, q, alpha, gamma, rr, k + check_every)
+
+    state = (x, r, p, q, alpha, gamma, rr0, jnp.zeros((), jnp.int32))
+    x, r, p, q, alpha, gamma, rr, k = jax.lax.while_loop(cond, body, state)
+    return x, rr, k
+
+
 def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
                    *rest, maxiter: int, rtol_wrt: str,
                    cheb_degree: int, pcr_levels: int,
-                   pcr_z_levels: int = 0):
+                   pcr_z_levels: int = 0, merged: bool = False):
     """Whole tolerance-based CG solve in one kernel (while_loop on-chip).
 
     The operator is applied with ON-THE-FLY symmetric scaling,
@@ -286,6 +349,21 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
     else:
         precond = lambda rr: rr
 
+    preconditioned_any = cheb_degree > 0 or pcr_levels > 0
+    if merged:
+        r0v = b - apply_op(x)
+        rr0 = jnp.sum(r0v * r0v)
+        rtol = rtol_ref[0, 0]
+        ref2 = rr0 if rtol_wrt == "r0" else jnp.sum(b * b)
+        stop2 = rtol * rtol * ref2
+        x, rr, k = _merged_cg_loop(apply_op, precond, r0v, x, stop2, rr0,
+                                   maxiter=maxiter,
+                                   check_every=CHECK_EVERY,
+                                   preconditioned=preconditioned_any)
+        x_ref[:] = jnp.where(jnp.isfinite(rr), x, jnp.nan)
+        it_ref[0, 0] = k
+        return
+
     r = b - apply_op(x)
     z = precond(r)
     p = z
@@ -330,14 +408,20 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
     it_ref[0, 0] = k
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("maxiter", "rtol_wrt", "interpret",
-                                    "cheb_degree"))
+MERGED_DEFAULT = True   # Chronopoulos–Gear merged-dot recurrence in the
+                        # tolerance kernels (round-2: +4.5%/iteration,
+                        # promoted round 4 after the interleaved official-
+                        # point A/B — BENCHMARKS.md "merged-dot
+                        # promotion"). merged=False restores the exact
+                        # pcg_fixed/XLA Krylov trajectory (what the
+                        # cross-implementation equality tests pin).
+
+
 def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
                 x0: jnp.ndarray, rtol: float | jnp.ndarray, *,
                 maxiter: int = 4000, rtol_wrt: str = "r0",
                 interpret: bool = False, cheb_degree: int = 0,
-                pcr=None, pcr_z=None):
+                pcr=None, pcr_z=None, merged: bool | None = None):
     """Tolerance-based VMEM-resident CG on the scaled-masked operator
     sm·A·sm. Returns (x, iters). b and x0 must vanish at constrained dofs;
     sm = rsqrt(diag(A)) * free. ``interpret=True`` runs the Pallas
@@ -349,7 +433,25 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
     ``pcr_pack(..., axis=-2)``; requires ``pcr``) switches to the
     split-additive ADI preconditioner R r + Z r − r
     (linesolve.adi_preconditioner). Stopping is on the true residual in
-    all cases."""
+    all cases. ``merged`` (default :data:`MERGED_DEFAULT`) selects the
+    Chronopoulos–Gear merged-dot recurrence — tolerance-equal trajectory,
+    measured faster per iteration; ``merged=False`` is bitwise the
+    standard recurrence. The default is resolved OUTSIDE the jitted core
+    (merged=None must never be a jit cache key — a global flip would
+    silently reuse the other variant's trace)."""
+    if merged is None:
+        merged = MERGED_DEFAULT
+    return _cg_vmem_tol_jit(A, sm, b, x0, rtol, maxiter=maxiter,
+                            rtol_wrt=rtol_wrt, interpret=interpret,
+                            cheb_degree=cheb_degree, pcr=pcr, pcr_z=pcr_z,
+                            merged=merged)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("maxiter", "rtol_wrt", "interpret",
+                                    "cheb_degree", "merged"))
+def _cg_vmem_tol_jit(A, sm, b, x0, rtol, *, maxiter, rtol_wrt, interpret,
+                     cheb_degree, pcr=None, pcr_z=None, merged=False):
     nz, nr = b.shape
     rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
     pcr_levels = 0 if pcr is None else (int(pcr.shape[0]) - 1) // 2
@@ -379,7 +481,7 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
         functools.partial(_cg_tol_kernel, maxiter=maxiter,
                           rtol_wrt=rtol_wrt, cheb_degree=cheb_degree,
                           pcr_levels=pcr_levels,
-                          pcr_z_levels=pcr_z_levels),
+                          pcr_z_levels=pcr_z_levels, merged=merged),
         out_shape=(jax.ShapeDtypeStruct((nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         in_specs=in_specs,
@@ -575,7 +677,8 @@ def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
 
 def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
                          rtol_wrt: str, rline: bool = False,
-                         adi: bool = False, has_kv: bool = True):
+                         adi: bool = False, has_kv: bool = True,
+                         merged: bool = False):
     """Tolerance-based per-config solve for the sweep engine: one grid step
     combines this config's operator on-chip and runs the whole while_loop CG
     (stopping rule identical to ops.cg.pcg: ||r|| <= rtol·||b|| for 'b',
@@ -627,6 +730,20 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
     else:
         precond = lambda rr: rr
 
+    if merged:
+        r0v = b - apply_op(x)
+        rr0 = jnp.sum(r0v * r0v)
+        rtol = rtol_ref[b_idx, 0]
+        ref2 = rr0 if rtol_wrt == "r0" else jnp.sum(b * b)
+        stop2 = rtol * rtol * ref2
+        x, rr, k = _merged_cg_loop(apply_op, precond, r0v, x, stop2, rr0,
+                                   maxiter=maxiter,
+                                   check_every=CHECK_EVERY,
+                                   preconditioned=preconditioned)
+        x_ref[0] = jnp.where(jnp.isfinite(rr), x, jnp.nan)
+        it_ref[b_idx] = k
+        return
+
     r = b - apply_op(x)
     z = precond(r)
     p = z
@@ -668,13 +785,12 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
     it_ref[b_idx] = k     # whole (B,) SMEM buffer, persists across steps
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "rtol_wrt",
-                                             "interpret", "rline", "adi"))
 def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                         sm: jnp.ndarray, b: jnp.ndarray, x0: jnp.ndarray,
                         rtol: float | jnp.ndarray, *, maxiter: int = 4000,
                         rtol_wrt: str = "b", interpret: bool = False,
-                        rline: bool = False, adi: bool = False):
+                        rline: bool = False, adi: bool = False,
+                        merged: bool | None = None):
     """Tolerance-based batched per-config VMEM CG (grid over configs).
 
     Same operator convention as ``cg_vmem_batched`` but each config runs to
@@ -695,6 +811,20 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     if rline and adi:
         raise ValueError("rline and adi are mutually exclusive (adi "
                          "already contains the r-line stack)")
+    if merged is None:
+        # resolved OUTSIDE the jitted core (see cg_vmem_tol)
+        merged = MERGED_DEFAULT
+    return _cg_vmem_batched_tol_jit(A0, Kv, dks, sm, b, x0, rtol,
+                                    maxiter=maxiter, rtol_wrt=rtol_wrt,
+                                    interpret=interpret, rline=rline,
+                                    adi=adi, merged=merged)
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter", "rtol_wrt",
+                                             "interpret", "rline", "adi",
+                                             "merged"))
+def _cg_vmem_batched_tol_jit(A0, Kv, dks, sm, b, x0, rtol, *, maxiter,
+                             rtol_wrt, interpret, rline, adi, merged):
     B, nz, nr = b.shape
     npts = A0.shape[0]
     # scalar rtol or per-config (B,) — e.g. the f64-refine degenerate-lane
@@ -719,7 +849,7 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     x, it = pl.pallas_call(
         functools.partial(_sweep_cg_tol_kernel, maxiter=maxiter,
                           rtol_wrt=rtol_wrt, rline=rline, adi=adi,
-                          has_kv=Kv is not None),
+                          has_kv=Kv is not None, merged=merged),
         grid=(B,),
         out_shape=(jax.ShapeDtypeStruct((B, nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((B,), jnp.int32)),

@@ -36,8 +36,9 @@ def system():
 
 def test_kernel_matches_xla_cg(system):
     A, sm, free, b, x_true = system
+    # merged=False: the standard recurrence, bitwise the XLA trajectory
     x, iters = cg_vmem_tol(A, sm, b, jnp.zeros_like(b), 1e-11,
-                           maxiter=20000, interpret=True)
+                           maxiter=20000, interpret=True, merged=False)
     err = float(jnp.abs(x - x_true).max() / jnp.abs(x_true).max())
     assert err < 1e-8
     assert 0 < int(iters) < 20000
@@ -48,6 +49,36 @@ def test_kernel_matches_xla_cg(system):
     # identical Krylov recurrence + per-iteration convergence checks
     # (CHECK_EVERY=1) → exact iteration-count equality with the XLA path
     assert int(iters) == int(ref.iters), (int(iters), int(ref.iters))
+
+
+def test_merged_kernel_tolerance_class(system):
+    """The default (Chronopoulos–Gear merged-dot) recurrence solves to the
+    same answer at the same stopping rule with a tolerance-equal (not
+    bitwise) trajectory: iteration counts within a few of the standard
+    recurrence, solution at the solve tolerance."""
+    A, sm, free, b, x_true = system
+    x_m, it_m = cg_vmem_tol(A, sm, b, jnp.zeros_like(b), 1e-11,
+                            maxiter=20000, interpret=True, merged=True)
+    x_s, it_s = cg_vmem_tol(A, sm, b, jnp.zeros_like(b), 1e-11,
+                            maxiter=20000, interpret=True, merged=False)
+    err = float(jnp.abs(x_m - x_true).max() / jnp.abs(x_true).max())
+    assert err < 1e-8
+    assert abs(int(it_m) - int(it_s)) <= max(3, int(0.05 * int(it_s)))
+    # true-residual stopping holds for the merged recurrence too
+    r = np.asarray(b - sm * apply_stencil(A, sm * x_m))
+    r0 = np.asarray(b)
+    assert np.linalg.norm(r) <= 1.2e-11 * np.linalg.norm(r0)
+
+    # and with the rline PCR preconditioner (the production configuration)
+    from heatflow_tpu.ops.pallas_cg import pcr_pack
+    s = jnp.where(sm > 0, sm, 1.0)
+    pcr = pcr_pack(A, s, free)
+    x_p, it_p = cg_vmem_tol(A, sm, b, jnp.zeros_like(b), 1e-11,
+                            maxiter=20000, interpret=True, merged=True,
+                            pcr=pcr)
+    err_p = float(jnp.abs(x_p - x_true).max() / jnp.abs(x_true).max())
+    assert err_p < 1e-8
+    assert 0 < int(it_p) < int(it_m)   # preconditioning still cuts iters
 
 
 def test_kernel_respects_tolerance(system):
