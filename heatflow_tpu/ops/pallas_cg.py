@@ -228,8 +228,9 @@ def _merged_cg_loop(apply_op, precond, b, x, stop2, rr0, *, maxiter: int,
     freshly produced data — the VPU pipelines them instead of idling
     between two dependency chains. Cost: one extra AXPY (q) and one extra
     VMEM plane; measured ~4.5%/iteration on the plain kernel (round-2
-    marginal-slope protocol) and promoted default-on in round 4 after an
-    interleaved A/B at the official flagship point (BENCHMARKS.md).
+    marginal-slope protocol) but 4.9% SLOWER end-to-end at the official
+    rline-preconditioned point (round-4 interleaved A/B — see
+    MERGED_DEFAULT), so it is an option, not the default.
 
     α is produced by the coupled recurrence α' = γ'/(δ − βγ'/α), which is
     algebraically identical to γ'/⟨p', A p'⟩ but rounds differently — the
@@ -408,13 +409,21 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
     it_ref[0, 0] = k
 
 
-MERGED_DEFAULT = True   # Chronopoulos–Gear merged-dot recurrence in the
-                        # tolerance kernels (round-2: +4.5%/iteration,
-                        # promoted round 4 after the interleaved official-
-                        # point A/B — BENCHMARKS.md "merged-dot
-                        # promotion"). merged=False restores the exact
-                        # pcg_fixed/XLA Krylov trajectory (what the
-                        # cross-implementation equality tests pin).
+MERGED_DEFAULT = False  # Chronopoulos–Gear merged-dot recurrence in the
+                        # tolerance kernels. Round-2's marginal-slope
+                        # protocol measured it +4.5%/iteration on the
+                        # PLAIN kernel, but the round-4 interleaved A/B at
+                        # the official point (rline PCR + f64_refine=1)
+                        # measured it 4.9% SLOWER end-to-end (554.2 vs
+                        # 582.8 steps/s best-of-4 — the PCR passes already
+                        # fill the pipeline between reductions, and merged
+                        # adds an extra AXPY + q plane + rr reduction), so
+                        # the standard recurrence stays the default
+                        # (BENCHMARKS.md "merged-dot A/B"). merged=False
+                        # is also the exact pcg_fixed/XLA Krylov
+                        # trajectory the cross-implementation equality
+                        # tests pin; merged=True remains available and
+                        # tested (tolerance-class equality).
 
 
 def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
@@ -434,8 +443,9 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
     split-additive ADI preconditioner R r + Z r − r
     (linesolve.adi_preconditioner). Stopping is on the true residual in
     all cases. ``merged`` (default :data:`MERGED_DEFAULT`) selects the
-    Chronopoulos–Gear merged-dot recurrence — tolerance-equal trajectory,
-    measured faster per iteration; ``merged=False`` is bitwise the
+    Chronopoulos–Gear merged-dot recurrence — tolerance-equal trajectory
+    (measured slower at the official rline point, see MERGED_DEFAULT);
+    ``merged=False`` is bitwise the
     standard recurrence. The default is resolved OUTSIDE the jitted core
     (merged=None must never be a jit cache key — a global flip would
     silently reuse the other variant's trace)."""

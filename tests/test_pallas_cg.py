@@ -52,7 +52,7 @@ def test_kernel_matches_xla_cg(system):
 
 
 def test_merged_kernel_tolerance_class(system):
-    """The default (Chronopoulos–Gear merged-dot) recurrence solves to the
+    """The merged-dot (Chronopoulos–Gear) recurrence option solves to the
     same answer at the same stopping rule with a tolerance-equal (not
     bitwise) trajectory: iteration counts within a few of the standard
     recurrence, solution at the solve tolerance."""
