@@ -85,34 +85,41 @@ def resolve_fit_solver(dtype, rtol, rtol_wrt, solver, precondition,
     the f64 rtol grinds every CG solve to maxiter: the rtol sits below the
     f32 residual floor, BENCHMARKS.md).
 
-    f64: rtol 1e-10 wrt ‖b‖, XLA solver, jacobi — the exact-parity regime.
+    f64: rtol 1e-10 wrt ‖b‖ — the exact-parity regime.
     f32: rtol 1e-5 wrt the warm-start residual (increment-relative — the
-    only stopping rule that converges at f32 on DAC operators) with rline
-    preconditioning, routed through the VMEM engine on TPU
-    (``sweepkernel.make_sweep_fn`` one_config → ``pallas_cg.cg_vmem_solve``,
-    implicit-diff at engine speed). 1e-5, tighter than run2d's 1e-4 trace
-    default, because the OBJECTIVE inherits the solve error: measured
-    normalized-RMSE floor ~7e-3 at rtol 1e-4 vs ~1e-4 at 1e-5 — the former
-    is the scale of real experimental fit minima (BENCHMARKS.md ~0.007),
-    the latter comfortably below it. Returns
+    only stopping rule that converges at f32 on DAC operators). 1e-5,
+    tighter than run2d's 1e-4 trace default, because the OBJECTIVE
+    inherits the solve error: measured normalized-RMSE floor ~7e-3 at
+    rtol 1e-4 vs ~1e-4 at 1e-5 — the former is the scale of real
+    experimental fit minima (BENCHMARKS.md ~0.007), the latter
+    comfortably below it.
+
+    Solver/preconditioner default to the plain XLA jacobi path for BOTH
+    dtypes — the measured-fastest end-to-end fit recipe on TPU
+    (BENCHMARKS.md "gradient-based fit engines", all interleaved on the
+    flagship fit point): (a) the vmapped multi-start refinement runs
+    lock-step lanes whose shared-stencil HBM traffic amortizes jacobi's
+    extra iterations (31 vmapped-2 Adam steps: jacobi 29.0 s vs rline
+    39.4 s, though a SINGLE unvmapped grad trajectory inverts to rline
+    0.48 vs jacobi 0.99 s/step); (b) reverse mode through the VMEM
+    kernel (``cg_vmem_solve``) is slower still and trips an XLA
+    scoped-vmem fusion limit in the backward scan on this toolchain;
+    (c) the batched-vmem coarse program misses the persistent compile
+    cache across processes (~200 s re-compile per CLI invocation,
+    measured) where the XLA programs hit it. Explicit
+    ``solver='vmem'`` / ``precondition='rline'|'adi'`` remain supported
+    and tested on every path. Returns
     (rtol, rtol_wrt, solver, precondition)."""
+    del problem  # solver choice no longer shape-dependent (see docstring)
     f64 = jnp.dtype(dtype) == jnp.float64
     if rtol is None:
         rtol = 1e-10 if f64 else 1e-5
     if rtol_wrt is None:
         rtol_wrt = "b" if f64 else "r0"
     if solver in (None, "auto"):
-        use_vmem = (jax.default_backend() == "tpu"
-                    and jnp.dtype(dtype) == jnp.float32)
-        if use_vmem and problem is not None \
-                and hasattr(problem, "mesh") \
-                and hasattr(problem.mesh, "shape"):
-            from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
-            nz, nr = problem.mesh.shape
-            use_vmem = fits_in_vmem_batched(nz, nr, dtype, rline=True)
-        solver = "vmem" if use_vmem else "xla"
+        solver = "xla"
     if precondition is None:
-        precondition = "jacobi" if f64 else "rline"
+        precondition = "jacobi"
     return rtol, rtol_wrt, solver, precondition
 
 
@@ -128,9 +135,13 @@ def experimental_objective(problem, *, dtype=jnp.float64,
     ProblemUnstructured (overlay/ELL path, implicit-diff solves).
 
     ``rtol``/``rtol_wrt``/``solver``/``precondition`` default per dtype via
-    :func:`resolve_fit_solver` — f32 resolves to the converging
-    increment-relative regime on the fast engines (rline-preconditioned
-    VMEM kernel on TPU), f64 to the exact-parity XLA path."""
+    :func:`resolve_fit_solver` — f32 resolves to converging
+    increment-relative stopping on the measured-fastest XLA jacobi path,
+    f64 to the exact-parity regime; ``solver='vmem'`` routes the
+    implicit-diff solves through the Pallas kernel
+    (``pallas_cg.cg_vmem_solve``) and ``precondition='rline'|'adi'``
+    selects the line engines on either solver."""
+    solver_explicit = solver not in (None, "auto")
     rtol, rtol_wrt, solver, precondition = resolve_fit_solver(
         dtype, rtol, rtol_wrt, solver, precondition, problem)
     heating = problem.heating
@@ -182,19 +193,29 @@ def experimental_objective(problem, *, dtype=jnp.float64,
         return objective
 
     warm = "extrapolate" if jnp.dtype(dtype) == jnp.float32 else "previous"
+    # batch (coarse-sweep) engine: the resolved solver — vmem on TPU f32
     fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
                        rtol_wrt=rtol_wrt, solver=solver,
                        precondition=precondition, warm_start=warm)
+    # gradient engine: an explicit solver='vmem' request routes the
+    # implicit-diff solves through the VMEM kernel (cg_vmem_solve);
+    # under the default resolution both engines are the same XLA maker
+    # (measured fastest — see resolve_fit_solver) and the memoized maker
+    # is simply reused.
+    fn_g = fn if solver == "vmem" and solver_explicit else \
+        make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
+                      rtol_wrt=rtol_wrt, solver="xla",
+                      precondition=precondition, warm_start=warm)
     times = jnp.asarray(fn.times, dtype)
 
     def objective(k, fwhm):
-        tr = fn.one_config(k, fwhm)
+        tr = fn_g.one_config(k, fwhm)
         return normalized_oside_rmse(times, tr, exp_t, exp_o)
 
     objective.batch = lambda ks, fs: normalized_oside_rmse(
         times, fn(ks, fs), exp_t, exp_o)
     objective.residuals = lambda k, fwhm: normalized_oside_residuals(
-        times, fn.one_config(k, fwhm), exp_t, exp_o)
+        times, fn_g.one_config(k, fwhm), exp_t, exp_o)
     return objective
 
 
@@ -222,6 +243,8 @@ def fit_parameters(problem, *, k_range=(1.0, 100.0),
                                  rtol_wrt=rtol_wrt, solver=solver,
                                  precondition=precondition, maxiter=maxiter)
 
+    import time as _time
+    t_start = _time.time()
     ks = np.logspace(np.log10(k_range[0]), np.log10(k_range[1]), coarse[0])
     fs = np.logspace(np.log10(fwhm_range[0]), np.log10(fwhm_range[1]),
                      coarse[1])
@@ -239,9 +262,11 @@ def fit_parameters(problem, *, k_range=(1.0, 100.0),
     sweep_rmse = np.concatenate(pieces)[:n_pts]
     order = np.argsort(np.where(np.isfinite(sweep_rmse), sweep_rmse, np.inf))
     starts = order[:n_starts]
+    t_coarse = _time.time() - t_start
     if verbose:
         print(f"coarse sweep best: rmse={sweep_rmse[starts[0]]:.5f} at "
-              f"k={flat_k[starts[0]]:.3f}, fwhm={flat_f[starts[0]]:.3e}")
+              f"k={flat_k[starts[0]]:.3f}, fwhm={flat_f[starts[0]]:.3e} "
+              f"({t_coarse:.1f}s)")
 
     log_k0 = jnp.log(jnp.asarray(flat_k[starts], dtype))
     log_f0 = jnp.log(jnp.asarray(flat_f[starts], dtype))
@@ -284,6 +309,9 @@ def fit_parameters(problem, *, k_range=(1.0, 100.0),
         best_v = np.where(better, v, best_v)
         params = new_params
     hist = np.stack(hist, axis=1)
+    if verbose:
+        print(f"adam refinement: {adam_steps + 1} steps in "
+              f"{_time.time() - t_start - t_coarse:.1f}s")
     i = int(np.argmin(best_v))
     k_best = float(np.exp(np.clip(best_p[i, 0], lo_k, hi_k)))
     f_best = float(np.exp(np.clip(best_p[i, 1], lo_f, hi_f)))
@@ -321,11 +349,14 @@ def main(argv=None):
                         "setting — 1e-10 wrt b at f64, 1e-5 wrt r0 at f32)")
     p.add_argument("--solver", default="auto",
                    choices=["auto", "xla", "vmem"],
-                   help="'auto': VMEM engine for f32 on TPU, XLA otherwise")
+                   help="'auto' resolves to the XLA implicit-diff path "
+                        "(measured fastest end-to-end; 'vmem' routes "
+                        "solves through the Pallas kernel)")
     p.add_argument("--precondition", default=None,
                    choices=["jacobi", "rline", "adi", "mg"],
-                   help="CG preconditioner (default: rline at f32, "
-                        "jacobi at f64)")
+                   help="CG preconditioner (default: jacobi — the "
+                        "measured-fastest vmapped multi-start recipe; "
+                        "rline wins for single-trajectory grads)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)

@@ -143,12 +143,10 @@ def test_resolve_fit_solver_defaults():
     assert (rtol, wrt, pre) == (1e-10, "b", "jacobi")
     rtol, wrt, solver, pre = resolve_fit_solver(jnp.float32, None, None,
                                                 "auto", None)
-    assert (rtol, wrt, pre) == (1e-5, "r0", "rline")
-    # off-TPU 'auto' falls back to the XLA solver (the Pallas interpreter
-    # is a test vehicle, not a production CPU path)
-    import jax
-    if jax.default_backend() != "tpu":
-        assert solver == "xla"
+    # xla+jacobi: the measured-fastest end-to-end recipe (vmapped
+    # multi-start lock-step amortization + compile-cache behavior — see
+    # resolve_fit_solver docstring / BENCHMARKS.md)
+    assert (rtol, wrt, solver, pre) == (1e-5, "r0", "xla", "jacobi")
     # explicit settings pass through untouched
     assert resolve_fit_solver(jnp.float32, 1e-6, "b", "vmem", "adi") == \
         (1e-6, "b", "vmem", "adi")
