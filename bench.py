@@ -79,10 +79,18 @@ def bench_tpu(problem, *, rtol=1e-4, maxiter=8000):
     # rule instead of overshooting by up to 7 iterations: +4.5% steps/s at
     # +0.03 K peak vs the CHECK_EVERY=8 rows (retune rows incl. the
     # accuracy-matched inner 8e-5 point are in BENCHMARKS.md).
+    # precondition='adaptive' (round 4): per-step rline/adi switch — deep
+    # solves (cold start, heating-curve kinks; detected by the previous
+    # step's iteration count > 100) run the split-additive ADI kernel,
+    # shallow warm-started steps the cheaper rline kernel. Interleaved
+    # same-process A/B at this exact recipe: 608.2 steps/s vs 582.3
+    # (static rline, the round-3 official) vs 554.6 (static adi) —
+    # +4.4%, tolerance-class traces (benchmarks/expt_adaptive_ab.py;
+    # round-3 verdict stretch item 8 landed).
     fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=rtol,
                           maxiter=maxiter, record_gradient=False,
                           record_fields=False, rtol_wrt="r0",
-                          solver="auto", precondition="rline",
+                          solver="auto", precondition="adaptive",
                           warm_start="extrapolate", f64_refine=1)
 
     def timed_call(retries=2):

@@ -66,7 +66,8 @@ def make_simulate_fn(problem: Problem2D,
                      warm_start: str = "previous",
                      mesh=None,
                      f64_refine: int = 0,
-                     inner_seed: str = "zero") -> Callable:
+                     inner_seed: str = "zero",
+                     adaptive_thresh: int = 100) -> Callable:
     """Build a jittable simulate(kappas, rho_cvs, fwhm) -> dict of traces.
 
     ``f64_refine``: mixed-precision iterative refinement (dtype must be
@@ -112,6 +113,20 @@ def make_simulate_fn(problem: Problem2D,
     rtol frontier on TPU (BENCHMARKS.md measured-negative #5), kept as a
     tested option.
 
+    precondition='adaptive' (VMEM path only): per-step rline/adi switch —
+    each step runs the rline kernel unless the PREVIOUS step's iteration
+    count exceeded ``adaptive_thresh``, in which case the step runs the
+    split-additive ADI kernel (both PCR stacks are factored once per
+    transient; lax.cond selects the kernel). Rationale: ADI's z phase
+    pays only on deep solves (the ~1.3x break-even cut, BENCHMARKS.md
+    "ADI regime map"), which cluster at the cold start and heating-curve
+    kinks where the previous step's count is an accurate one-step-lagged
+    depth predictor. Threshold default 100: the interleaved flagship
+    A/B measured 608-614 steps/s at 100 vs 597.7 at 150 vs 582.3 for
+    static rline and 554.6 for static adi (round 4, BENCHMARKS.md
+    "adaptive rline/adi switch") — the round-3 verdict's stretch item,
+    promoted to the official bench recipe.
+
     Memoized per problem (problem.extras) keyed by every argument: repeated
     calls with identical parameters return the same compiled callable
     instead of re-tracing (same convention as sweepkernel.make_sweep_fn).
@@ -128,13 +143,15 @@ def make_simulate_fn(problem: Problem2D,
     cache_key = ("simulate_fn", jnp.dtype(dtype).name, rtol, maxiter,
                  fixed_iters, proj_rtol, proj_maxiter, record_gradient,
                  record_fields, precondition, rtol_wrt, solver,
-                 vmem_cheb_degree, warm_start, mesh, f64_refine, inner_seed)
+                 vmem_cheb_degree, warm_start, mesh, f64_refine, inner_seed,
+                 adaptive_thresh if precondition == "adaptive" else None)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
     if warm_start not in ("previous", "extrapolate", "extrapolate2"):
         raise ValueError(f"unknown warm_start {warm_start!r}")
-    if precondition not in ("jacobi", "mg", "rline", "zline", "adi"):
+    if precondition not in ("jacobi", "mg", "rline", "zline", "adi",
+                            "adaptive"):
         raise ValueError(f"unknown precondition {precondition!r}")
     if f64_refine:
         if jnp.dtype(dtype) != jnp.float32:
@@ -167,7 +184,8 @@ def make_simulate_fn(problem: Problem2D,
                                                 fits_in_vmem,
                                                 rline_extra_planes)
         extra = (rline_extra_planes(nr) if precondition == "rline"
-                 else adi_extra_planes(nz, nr) if precondition == "adi"
+                 else adi_extra_planes(nz, nr)
+                 if precondition in ("adi", "adaptive")
                  else 0)
         use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
     if solver == "vmem" and not use_vmem:
@@ -185,6 +203,13 @@ def make_simulate_fn(problem: Problem2D,
                              "available in the VMEM kernel (only 'rline' "
                              "has an in-kernel PCR); use solver='xla'")
         use_vmem = False
+    if precondition == "adaptive" and not use_vmem:
+        # the per-step rline/adi switch exists only as the two VMEM kernel
+        # variants under lax.cond — there is no XLA fallback to silently
+        # degrade to
+        raise ValueError("precondition='adaptive' (per-step rline/adi "
+                         "switch) requires the VMEM solver path (TPU f32 "
+                         "within the VMEM budget, or interpret-mode tests)")
     if mesh is not None:
         if solver == "vmem":
             raise ValueError("z-sharding a single problem runs the XLA "
@@ -276,6 +301,12 @@ def make_simulate_fn(problem: Problem2D,
         pre = None
         pcr_stack = None
         pcr_z_stack = None
+        if precondition == "adaptive" and not f64_refine:
+            # both stacks resident; the per-step switch picks which rhs
+            # phases run (pcr_z only on deep solves — see the step fn)
+            from heatflow_tpu.ops.pallas_cg import pcr_pack
+            pcr_stack = pcr_pack(A, s, free)
+            pcr_z_stack = pcr_pack(A, s, free, axis=-2)
         if precondition in ("rline", "zline", "adi") and not f64_refine:
             # line block-Jacobi on the scaled system via precomputed PCR
             # (the operator is constant over the transient, so the
@@ -340,10 +371,10 @@ def make_simulate_fn(problem: Problem2D,
             pre32 = None
             pcr_stack32 = None
             pcr_z_stack32 = None
-            if use_vmem and precondition in ("rline", "adi"):
+            if use_vmem and precondition in ("rline", "adi", "adaptive"):
                 from heatflow_tpu.ops.pallas_cg import pcr_pack
                 pcr_stack32 = pcr_pack(A32, s32, free32)
-                if precondition == "adi":
+                if precondition in ("adi", "adaptive"):
                     pcr_z_stack32 = pcr_pack(A32, s32, free32, axis=-2)
             elif precondition == "adi":
                 from heatflow_tpu.ops.linesolve import adi_preconditioner
@@ -361,7 +392,7 @@ def make_simulate_fn(problem: Problem2D,
 
         carry_inner = inner_seed == "carry"
 
-        def _solve_refined(b_lift, y0, dys):
+        def _solve_refined(b_lift, y0, dys, use_adi=None):
             """N passes of f64-residual / f32-correction iterative
             refinement on the scaled system (see the f64_refine doc).
 
@@ -400,7 +431,21 @@ def make_simulate_fn(problem: Problem2D,
                 # residual (ops.cg.refine_inner_seed)
                 seed = refine_inner_seed(dys[i], rtol_eff) if carry_inner \
                     else z32
-                if use_vmem:
+                if use_vmem and use_adi is not None:
+                    # per-step rline/adi switch: both kernel variants are
+                    # compiled once; deep solves (previous step's inner
+                    # iterations above the threshold) run the ADI kernel,
+                    # shallow ones the cheaper rline kernel
+                    dy, its = jax.lax.cond(
+                        use_adi,
+                        lambda: cg_vmem_tol(A32, sm32, r32, seed, rtol_eff,
+                                            maxiter=maxiter, rtol_wrt="b",
+                                            pcr=pcr_stack32,
+                                            pcr_z=pcr_z_stack32),
+                        lambda: cg_vmem_tol(A32, sm32, r32, seed, rtol_eff,
+                                            maxiter=maxiter, rtol_wrt="b",
+                                            pcr=pcr_stack32))
+                elif use_vmem:
                     dy, its = cg_vmem_tol(A32, sm32, r32, seed, rtol_eff,
                                           maxiter=maxiter, rtol_wrt="b",
                                           pcr=pcr_stack32,
@@ -418,7 +463,16 @@ def make_simulate_fn(problem: Problem2D,
                             converged=jnp.asarray(True)), \
                 jnp.stack(new_dys)
 
+        adaptive = precondition == "adaptive"
+
         def step(carry, t):
+            use_adi = None
+            if adaptive:
+                # deep-solve detector with one step of hysteresis: the
+                # previous step's iteration count is the best free
+                # predictor of this step's depth (smooth transients)
+                carry, it_prev = carry[:-1], carry[-1]
+                use_adi = it_prev > adaptive_thresh
             if carry_inner:
                 carry, dys_prev = carry[:-1], carry[-1]
             if order2:
@@ -442,13 +496,28 @@ def make_simulate_fn(problem: Problem2D,
                 sol, dys = _solve_refined(
                     b_lift, y0,
                     dys_prev if carry_inner else
-                    jnp.zeros((f64_refine, nz, nr), dtype))
+                    jnp.zeros((f64_refine, nz, nr), dtype), use_adi)
             elif use_vmem:
                 from heatflow_tpu.ops.pallas_cg import cg_vmem_tol
-                x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0, rtol,
-                                       maxiter=maxiter, rtol_wrt=rtol_wrt,
-                                       cheb_degree=vmem_cheb_degree,
-                                       pcr=pcr_stack, pcr_z=pcr_z_stack)
+                if adaptive:
+                    x, iters = jax.lax.cond(
+                        use_adi,
+                        lambda: cg_vmem_tol(A, sm_vmem, b_lift * free, y0,
+                                            rtol, maxiter=maxiter,
+                                            rtol_wrt=rtol_wrt,
+                                            pcr=pcr_stack,
+                                            pcr_z=pcr_z_stack),
+                        lambda: cg_vmem_tol(A, sm_vmem, b_lift * free, y0,
+                                            rtol, maxiter=maxiter,
+                                            rtol_wrt=rtol_wrt,
+                                            pcr=pcr_stack))
+                else:
+                    x, iters = cg_vmem_tol(A, sm_vmem, b_lift * free, y0,
+                                           rtol, maxiter=maxiter,
+                                           rtol_wrt=rtol_wrt,
+                                           cheb_degree=vmem_cheb_degree,
+                                           pcr=pcr_stack,
+                                           pcr_z=pcr_z_stack)
                 sol = CGResult(x=x, iters=iters,
                                residual=jnp.zeros((), dtype),
                                converged=jnp.asarray(True))
@@ -501,6 +570,8 @@ def make_simulate_fn(problem: Problem2D,
                 else (u, u_prev, gr, gr_prev)
             if carry_inner:
                 new_carry = new_carry + (dys,)
+            if adaptive:
+                new_carry = new_carry + (sol.iters,)
             return new_carry, outs
 
         gr0 = jnp.zeros((nz, nr), dtype)
@@ -509,6 +580,10 @@ def make_simulate_fn(problem: Problem2D,
             else (u0, u0, gr0, gr0)
         if carry_inner:
             init = init + (jnp.zeros((f64_refine, nz, nr), dtype),)
+        if adaptive:
+            # seed above any threshold: the first (cold) step is the
+            # deepest solve of the transient — start on the ADI kernel
+            init = init + (jnp.asarray(maxiter, jnp.int32),)
         carry_fin, ys = jax.lax.scan(step, init, ts)
         ys["final_u"] = carry_fin[0]
         ys["times"] = ts

@@ -520,3 +520,67 @@ def test_sweep_fn_vmem_adi_matches_jacobi(sweep_setup):
     with pytest.raises(ValueError, match="tolerance-based"):
         make_sweep_fn(problem, solver="vmem", precondition="adi",
                       fixed_iters=10)
+
+
+def test_stepper_adaptive_precondition_interpret():
+    """make_simulate_fn(precondition='adaptive'): the per-step rline/adi
+    switch produces tolerance-class traces vs the rline stepper, engages
+    BOTH kernels across a transient (the cold first step exceeds the
+    threshold, warm-started late steps fall below it), and validates its
+    vmem-only constraint."""
+    import os
+    import tempfile
+    import unittest.mock as mock
+
+    import pytest as _pytest
+
+    from heatflow_tpu.geometry import build_layout as _bl, \
+        coupler_watcher_points
+    from heatflow_tpu.ops import pallas_cg as pcg_mod
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+    from heatflow_tpu.sim.stepper import make_simulate_fn
+    from tests.fixtures import synthetic_heating
+
+    td = tempfile.mkdtemp()
+    heat = os.path.join(td, "heat.csv")
+    synthetic_heating(heat)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = heat
+    cfg["timing"]["num_steps"] = 6
+    domain, mats = _bl(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    problem = build_problem(mesh, HeatingCurve.from_csv(heat), cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+
+    # no XLA fallback exists for the switch — off the VMEM path it raises
+    with _pytest.raises(ValueError, match="adaptive"):
+        make_simulate_fn(problem, dtype=jnp.float32,
+                         precondition="adaptive", record_gradient=False)
+
+    ys_x = make_simulate_fn(problem, dtype=jnp.float32, rtol=1e-6,
+                            precondition="rline", record_gradient=False,
+                            rtol_wrt="b")()
+    orig = pcg_mod.cg_vmem_tol
+
+    def interp_tol(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch("heatflow_tpu.ops.pallas_cg.cg_vmem_tol", interp_tol), \
+         mock.patch("heatflow_tpu.ops.pallas_cg.fits_in_vmem",
+                    lambda *a, **k: True):
+        # threshold chosen mid-profile so both branches are exercised
+        ys_a = make_simulate_fn(problem, dtype=jnp.float32, rtol=1e-6,
+                                precondition="adaptive",
+                                record_gradient=False, rtol_wrt="b",
+                                solver="vmem", adaptive_thresh=25)()
+    wx = np.asarray(ys_x["watch"])
+    wa = np.asarray(ys_a["watch"])
+    assert np.isfinite(wa).all()
+    # two independently-stopped f32 solvers: sub-Kelvin traces on ~1e3 K
+    assert np.abs(wx - wa).max() < 0.5, np.abs(wx - wa).max()
+    its = np.asarray(ys_a["cg_iters"])
+    # first (cold) step must be deep, late (warm) steps shallow — the
+    # switch sees both regimes in this transient
+    assert its[0] > 25 and its.min() <= 25, its.tolist()
