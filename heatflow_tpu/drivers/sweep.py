@@ -360,8 +360,13 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
         chunk = max(n_conf, (chunk // n_conf) * n_conf)
         if record_gradient:
             # full-stepper chunks cost ~2 solves/step/config; keep device
-            # calls bounded on the relay (see run_sweep_time_chunked)
-            chunk = min(chunk, max(n_conf, (16 // n_conf) * n_conf))
+            # calls bounded on the relay (see run_sweep_time_chunked).
+            # 32 measured ~0.7-1.3 s/call warm at flagship scale on the
+            # rline vmem recording engine and ~6-10 s at the deepest
+            # (refine2) recording recipe — comfortably under the ~60 s
+            # relay cap, and halving the per-chunk dispatch cadence vs
+            # the old cap of 16 (round-4 driver-throughput work)
+            chunk = min(chunk, max(n_conf, (32 // n_conf) * n_conf))
         from heatflow_tpu.utils import pad_to_multiple
         t_group = time.time()
         traces, bands, axes_rows = [], [], []
