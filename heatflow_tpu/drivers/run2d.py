@@ -170,16 +170,16 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
             print(f"Mesh visualization written to {png}")
         from heatflow_tpu.mesh.msh_io import UnstructuredMesh
         if precondition is None:
-            # adi (structured) / rline (overlay) for f32 gradient-recording
-            # runs (clean near-axis gradient artifacts — measured 44x
-            # raw-axis difference vs jacobi at the same rtol; adi +53%
-            # steps/s over rline at same-class artifact error), jacobi
-            # otherwise — see utils.resolve_recording_precondition. The
-            # unstructured rline engine is the overlay VMEM kernel, so the
-            # default must check what 'auto' (or an explicit 'xla') will
-            # actually run, not the solver string.
+            # per-regime line-preconditioner defaults for f32 structured
+            # runs (pure-f32 'adi', refined 'adaptive' on the VMEM path,
+            # recording overlays 'rline') — measured regime map in
+            # BENCHMARKS.md; see utils.resolve_recording_precondition.
+            # The unstructured rline engine is the overlay VMEM kernel,
+            # so the default must check what 'auto' (or an explicit
+            # 'xla') will actually run, not the solver string.
             from heatflow_tpu.utils import resolve_recording_precondition
             unstructured_xla = False
+            vmem_single = False
             if isinstance(mesh, UnstructuredMesh):
                 if solver == "auto":
                     from heatflow_tpu.sim.unstructured import \
@@ -188,9 +188,21 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                         mesh, dtype, precondition="rline")
                 else:
                     unstructured_xla = solver == "xla"
+            elif solver in ("auto", "vmem") and z_shards == 1 \
+                    and jax.default_backend() == "tpu" \
+                    and jnp.dtype(dtype) == jnp.float32:
+                # will make_simulate_fn's VMEM path engage? (the adaptive
+                # switch has no XLA fallback)
+                from heatflow_tpu.ops.pallas_cg import (adi_extra_planes,
+                                                        fits_in_vmem)
+                nzs, nrs = mesh.shape
+                vmem_single = fits_in_vmem(
+                    nzs, nrs, dtype,
+                    extra_planes=adi_extra_planes(nzs, nrs))
             precondition = resolve_recording_precondition(
                 record_gradient, dtype, unstructured_xla=unstructured_xla,
-                unstructured=isinstance(mesh, UnstructuredMesh))
+                unstructured=isinstance(mesh, UnstructuredMesh),
+                f64_refine=f64_refine, vmem_single=vmem_single)
         if isinstance(mesh, UnstructuredMesh):
             if z_shards > 1:
                 # z-sharding is wired for the structured stepper only
@@ -429,16 +441,20 @@ def main(argv=None):
                         "error at equal iterations — BENCHMARKS.md). "
                         "Default: extrapolate at f32, previous at f64")
     p.add_argument("--precondition",
-                   choices=["jacobi", "rline", "zline", "adi", "mg"],
+                   choices=["jacobi", "rline", "zline", "adi", "mg",
+                            "adaptive"],
                    default=None,
                    help="CG preconditioner: 'rline' = r-line "
                         "block-tridiagonal via precomputed PCR (~6-8x fewer "
                         "iterations on DAC operators), 'adi' = split-"
                         "additive r-line + z-line (further iteration cut, "
-                        "best on cold/tight solves — BENCHMARKS.md), 'mg' "
-                        "= Galerkin multigrid V-cycle. Default: rline for "
-                        "f32 gradient-recording runs (clean raw-axis "
-                        "artifacts — BENCHMARKS.md), jacobi otherwise")
+                        "best on cold/deep solves), 'adaptive' = per-step "
+                        "rline/adi switch (VMEM path; the official "
+                        "refined-point recipe), 'mg' = Galerkin multigrid "
+                        "V-cycle. Default: the measured per-regime choice "
+                        "(pure-f32 'adi', refined 'adaptive' on TPU, "
+                        "overlay recording 'rline', f64 'jacobi') — "
+                        "BENCHMARKS.md regime map")
     p.add_argument("--f64-refine", type=int, default=0,
                    help="mixed-precision iterative refinement: N passes of "
                         "f64-residual / f32-correction per step (enables "

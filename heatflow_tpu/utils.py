@@ -65,33 +65,50 @@ def resolve_recording_precondition(record_gradient: bool, dtype,
                                    *, unstructured_xla: bool = False,
                                    fixed_iters=None,
                                    batched: bool = False,
-                                   unstructured: bool = False) -> str:
-    """Driver-default CG preconditioner: a line preconditioner for f32
-    gradient-recording runs, 'jacobi' otherwise.
+                                   unstructured: bool = False,
+                                   f64_refine: int = 0,
+                                   vmem_single: bool = False) -> str:
+    """Driver-default CG preconditioner per regime (all measured,
+    BENCHMARKS.md "ADI regime map" / "adaptive rline/adi switch").
 
-    At f32, jacobi-CG's unconverged error concentrates in exactly the
-    near-axis radial modes the gradient artifacts amplify by ~1/h_r — the
-    raw-axis CSV (ref run_no_diamond.py:610-617) picks up spurious spikes
-    ~44x the rline engine's at the same rtol, while rline is also the
-    faster VMEM recording engine (measured, BENCHMARKS.md "recording
-    engines"). f64 runs converge past the artifact's sensitivity either
-    way. The unstructured rline path is the overlay VMEM engine
-    (``unstructured_xla=True`` keeps jacobi), and vmem rline is
-    tolerance-based (a fixed iteration budget keeps jacobi).
+    Structured SINGLE runs at f32 with tolerance stopping get a line
+    preconditioner regardless of recording (round 4 — previously only
+    recording runs were upgraded):
 
-    Structured SINGLE-RUN recording (``batched=False, unstructured=False``)
-    gets 'adi' (split-additive r-line + z-line): +53% steps/s at
-    same-class artifact error vs rline on the flagship recording point
-    (interleaved A/B, benchmarks/expt_adi_record.py — under wrt-r0
-    stopping with extrapolated seeds rline grinds near the f32 floor).
-    Batched sweeps and overlay meshes keep 'rline': adi measured 15-19%
-    SLOWER on every batched sweep row (the batched kernels re-factor the
-    stacks per config per solve, where the single-problem kernel pays
-    once per transient — BENCHMARKS.md "ADI in the batched sweep
-    kernels"); it stays available as an explicit opt-in there.
+    - plain pure-f32: **'adi'** — under wrt-r0 stopping with extrapolated
+      seeds rline grinds near the f32 floor on late steps (171-274
+      iters/step) while adi converges before the floor bites (+64%
+      steps/s measured; the adaptive switch would oscillate back into
+      the grinding rline steps here, so static adi is right);
+    - with ``f64_refine`` (inner solves unit-normalized — no floor
+      grind): **'adaptive'** when the VMEM path will engage
+      (``vmem_single=True``) — the per-step rline/adi switch, +4.4% over
+      static rline at identical accuracy (the promoted official point);
+      'rline' otherwise (the adaptive switch exists only as the two VMEM
+      kernel variants).
+
+    Recording runs additionally NEED the line preconditioner for
+    artifact quality: jacobi-CG's unconverged f32 error concentrates in
+    exactly the near-axis radial modes the gradient artifacts amplify by
+    ~1/h_r — the raw-axis CSV (ref run_no_diamond.py:610-617) picks up
+    spurious spikes ~44x the rline engine's at the same rtol.
+
+    Batched sweeps and overlay meshes keep 'rline' when recording (adi
+    measured 15-19% SLOWER on every batched sweep row — the batched
+    kernels re-factor the stacks per config per solve) and 'jacobi' for
+    plain sweeps (rline measured accuracy-matched neutral in the
+    wrt-‖b‖ sweep regime). f64 runs converge past every such
+    sensitivity and keep 'jacobi'; a fixed iteration budget keeps
+    'jacobi' (the vmem line kernels are tolerance-based); the
+    unstructured XLA path keeps 'jacobi' (its rline engine is the
+    overlay VMEM kernel, ``unstructured_xla=True``).
     """
     import jax.numpy as jnp
-    if not (record_gradient and jnp.dtype(dtype) == jnp.float32
-            and fixed_iters is None and not unstructured_xla):
+    if not (jnp.dtype(dtype) == jnp.float32 and fixed_iters is None
+            and not unstructured_xla):
         return "jacobi"
-    return "rline" if (batched or unstructured) else "adi"
+    if batched or unstructured:
+        return "rline" if record_gradient else "jacobi"
+    if f64_refine:
+        return "adaptive" if vmem_single else "rline"
+    return "adi"

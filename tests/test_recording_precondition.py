@@ -39,8 +39,22 @@ def test_resolve_recording_precondition_matrix():
         == "rline"
     # f64 converges past the artifact sensitivity — keep jacobi
     assert resolve_recording_precondition(True, f64) == "jacobi"
-    # watcher-only runs: rline measured accuracy-matched neutral
-    assert resolve_recording_precondition(False, f32) == "jacobi"
+    # watcher-only STRUCTURED SINGLE runs (round 4): adi — in the
+    # pure-f32 wrt-r0 regime rline grinds near the floor on late steps
+    # while adi converges first (+64% steps/s, BENCHMARKS.md ADI regime
+    # map); plain SWEEPS keep jacobi (rline/adi measured neutral/slower
+    # in the batched wrt-b regime)
+    assert resolve_recording_precondition(False, f32) == "adi"
+    assert resolve_recording_precondition(False, f32,
+                                          batched=True) == "jacobi"
+    # refined structured singles: the per-step rline/adi switch when the
+    # VMEM path engages (the promoted official recipe), rline otherwise
+    assert resolve_recording_precondition(False, f32, f64_refine=1,
+                                          vmem_single=True) == "adaptive"
+    assert resolve_recording_precondition(True, f32, f64_refine=1,
+                                          vmem_single=True) == "adaptive"
+    assert resolve_recording_precondition(False, f32,
+                                          f64_refine=1) == "rline"
     # the unstructured XLA path has no rline
     assert resolve_recording_precondition(True, f32,
                                           unstructured_xla=True) == "jacobi"
