@@ -14,8 +14,10 @@ Protocol: geballe_no_diamond_read_flux (real Geballe heating + o-side
 data), flagship mesh, (kappa, FWHM) free over the default search box.
 Two engines, same fit settings otherwise:
 
-  fast — f32 defaults (resolve_fit_solver: rtol 1e-5 wrt r0, rline, VMEM
-         engine on TPU) — what `python -m heatflow_tpu.drivers.fit` runs
+  fast — f32 defaults (resolve_fit_solver: rtol 1e-5 wrt r0, XLA solver,
+         jacobi — the measured-fastest end-to-end fit recipe; vmem/rline
+         stays available via explicit --solver/--precondition) — what
+         `python -m heatflow_tpu.drivers.fit` runs
   xla  — the round-3 path: f32 XLA solver, jacobi, same rtol/rtol_wrt
          (the converging variant of the old default; the old rtol=1e-10
          wrt 'b' literally grinds every solve to maxiter=20000)

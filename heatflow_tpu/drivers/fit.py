@@ -193,7 +193,10 @@ def experimental_objective(problem, *, dtype=jnp.float64,
         return objective
 
     warm = "extrapolate" if jnp.dtype(dtype) == jnp.float32 else "previous"
-    # batch (coarse-sweep) engine: the resolved solver — vmem on TPU f32
+    # batch (coarse-sweep) engine: the resolved solver — under the
+    # defaults resolve_fit_solver pins solver='xla', precondition='jacobi'
+    # for both dtypes (measured-fastest fit recipe); vmem/rline engages
+    # only on explicit --solver/--precondition
     fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
                        rtol_wrt=rtol_wrt, solver=solver,
                        precondition=precondition, warm_start=warm)

@@ -72,18 +72,38 @@ _GROUP_CACHE: dict = {}
 _GROUP_CACHE_MAX = 4
 
 
+def _file_sig(path):
+    """(mtime_ns, size) of a file, or None if absent — the staleness
+    signature for cache validation (a rewrite at the same path changes it)."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def _group_sigs(cfg_w, mesh_folder):
+    """Signatures of every file the cached (mesh, problem, heating) entry
+    embeds parsed contents of: the heating CSV and the on-disk mesh pair.
+    A rewrite of any of them between invocations must be a cache miss."""
+    return (_file_sig(cfg_w["heating"]["file"]),
+            _file_sig(os.path.join(mesh_folder, "mesh.msh")),
+            _file_sig(os.path.join(mesh_folder, "mesh_cfg.yaml")))
+
+
 def _cached_group(cfg_w, mesh_folder):
     """(mesh, problem, heating) for one width group, LRU-cached across
     run_parameter_sweep invocations. ``cfg_w`` must already carry the
     group's width; its fwhm/p_sample.k are part of the key but callers
-    pass the BASE config's values so the key is sweep-range-independent."""
+    pass the BASE config's values so the key is sweep-range-independent.
+    Hits are validated against the heating-CSV and mesh-file signatures
+    captured at build time — rewriting any of those files at the same
+    path invalidates the entry instead of silently serving stale data."""
     key = (json.dumps(cfg_w, sort_keys=True, default=str), mesh_folder)
     hit = _GROUP_CACHE.pop(key, None)
-    if hit is not None and all(
-            os.path.exists(os.path.join(mesh_folder, f))
-            for f in ("mesh.msh", "mesh_cfg.yaml")):
+    if hit is not None and hit[1] == _group_sigs(cfg_w, mesh_folder):
         _GROUP_CACHE[key] = hit          # re-insert: most-recently-used
-        return hit
+        return hit[0]
     os.makedirs(mesh_folder, exist_ok=True)
     rebuild = not (os.path.exists(os.path.join(mesh_folder, "mesh.msh"))
                    and os.path.exists(os.path.join(mesh_folder,
@@ -99,7 +119,7 @@ def _cached_group(cfg_w, mesh_folder):
     else:
         problem = build_problem(mesh_w, heating, cfg_w, watcher_points=wp)
     entry = (mesh_w, problem, heating)
-    _GROUP_CACHE[key] = entry
+    _GROUP_CACHE[key] = (entry, _group_sigs(cfg_w, mesh_folder))
     while len(_GROUP_CACHE) > _GROUP_CACHE_MAX:
         _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
     return entry

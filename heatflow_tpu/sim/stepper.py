@@ -203,6 +203,14 @@ def make_simulate_fn(problem: Problem2D,
                              "available in the VMEM kernel (only 'rline' "
                              "has an in-kernel PCR); use solver='xla'")
         use_vmem = False
+    if precondition == "adaptive" and vmem_cheb_degree:
+        # the lax.cond rline/adi branches run the plain (non-Chebyshev)
+        # kernels — a cheb degree would be silently dropped (same class of
+        # validation as the zline/mg rejection above)
+        raise ValueError("vmem_cheb_degree is not available with "
+                         "precondition='adaptive' (the per-step rline/adi "
+                         "branches run the plain kernels); use a static "
+                         "precondition with cheb, or drop the degree")
     if precondition == "adaptive" and not use_vmem:
         # the per-step rline/adi switch exists only as the two VMEM kernel
         # variants under lax.cond — there is no XLA fallback to silently

@@ -67,7 +67,8 @@ def resolve_recording_precondition(record_gradient: bool, dtype,
                                    batched: bool = False,
                                    unstructured: bool = False,
                                    f64_refine: int = 0,
-                                   vmem_single: bool = False) -> str:
+                                   vmem_single: bool = False,
+                                   rtol_wrt: str = "r0") -> str:
     """Driver-default CG preconditioner per regime (all measured,
     BENCHMARKS.md "ADI regime map" / "adaptive rline/adi switch").
 
@@ -79,7 +80,11 @@ def resolve_recording_precondition(record_gradient: bool, dtype,
       seeds rline grinds near the f32 floor on late steps (171-274
       iters/step) while adi converges before the floor bites (+64%
       steps/s measured; the adaptive switch would oscillate back into
-      the grinding rline steps here, so static adi is right);
+      the grinding rline steps here, so static adi is right). Measured
+      ONLY under the driver's wrt-'r0' stopping: a non-default
+      ``rtol_wrt`` falls back to rline (recording) / jacobi, since adi's
+      unconverged error under loose wrt-'b' stopping is ~20x
+      jacobi/rline's at equal rtol;
     - with ``f64_refine`` (inner solves unit-normalized — no floor
       grind): **'adaptive'** when the VMEM path will engage
       (``vmem_single=True``) — the per-step rline/adi switch, +4.4% over
@@ -111,4 +116,11 @@ def resolve_recording_precondition(record_gradient: bool, dtype,
         return "rline" if record_gradient else "jacobi"
     if f64_refine:
         return "adaptive" if vmem_single else "rline"
+    if rtol_wrt != "r0":
+        # the 'adi' single-run default is measured only under the driver's
+        # increment-relative (wrt-'r0') stopping; with a user-specified
+        # loose wrt-'b' rule adi's unconverged error is ~20x jacobi/rline's
+        # at equal rtol (cg_vmem_batched_tol docstring) — keep the
+        # accuracy-safe preconditioners there
+        return "rline" if record_gradient else "jacobi"
     return "adi"
