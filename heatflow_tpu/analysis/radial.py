@@ -101,22 +101,49 @@ class RadialGradientPlotter:
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="Radial gradient plotting")
+    """CLI with the reference's full flag surface
+    (ref plot_radial_gradient.py:236-251: --plot-type evolution|heatmap|both,
+    --time-indices, --save-evolution/--save-heatmap, --figsize, --no-show)
+    plus this repo's earlier condensed flags kept as aliases."""
+    p = argparse.ArgumentParser(
+        description="Plot radial gradient data from parameter sweep")
     p.add_argument("data_path", type=str)
-    p.add_argument("--heatmap", action="store_true")
-    p.add_argument("--save", type=str, default=None)
+    p.add_argument("--plot-type", type=str,
+                   choices=["evolution", "heatmap", "both"],
+                   default=None, help="Type of plot to generate")
+    p.add_argument("--time-indices", type=int, nargs="+", default=None,
+                   help="Specific time indices to plot (evolution plot)")
+    p.add_argument("--save-evolution", type=str, default=None)
+    p.add_argument("--save-heatmap", type=str, default=None)
+    p.add_argument("--figsize", type=float, nargs=2, default=[12, 8],
+                   help="Figure size (width height)")
     p.add_argument("--no-show", action="store_true")
-    p.add_argument("--summary", action="store_true")
+    # condensed aliases from earlier rounds
+    p.add_argument("--heatmap", action="store_true",
+                   help="alias for --plot-type heatmap")
+    p.add_argument("--save", type=str, default=None,
+                   help="alias: save path for the selected plot")
+    p.add_argument("--summary", action="store_true",
+                   help="(summary is always printed, as in the reference)")
     args = p.parse_args(argv)
+
+    plot_type = args.plot_type or ("heatmap" if args.heatmap else "evolution")
+    figsize = tuple(args.figsize)
     plotter = RadialGradientPlotter(args.data_path)
-    if args.summary:
-        for k, v in plotter.get_data_summary().items():
-            print(f"  {k}: {v}")
-    if args.heatmap:
-        plotter.plot_heatmap(save_path=args.save, show_plot=not args.no_show)
-    else:
-        plotter.plot_gradient_evolution(save_path=args.save,
-                                        show_plot=not args.no_show)
+    print("\nData Summary:")
+    for k, v in plotter.get_data_summary().items():
+        print(f"  {k}: {v}")
+    if plot_type in ("evolution", "both"):
+        plotter.plot_gradient_evolution(
+            time_indices=args.time_indices, figsize=figsize,
+            save_path=args.save_evolution or args.save,
+            show_plot=not args.no_show)
+    if plot_type in ("heatmap", "both"):
+        plotter.plot_heatmap(
+            figsize=figsize,
+            save_path=args.save_heatmap
+            or (args.save if plot_type == "heatmap" else None),
+            show_plot=not args.no_show)
 
 
 if __name__ == "__main__":

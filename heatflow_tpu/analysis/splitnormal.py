@@ -29,7 +29,10 @@ __all__ = [
     "analyze_split_normal_fits",
     "analyze_split_normal_fits_amplitude_only",
     "save_fitted_curves_csv",
+    "save_fit_results",
     "plot_split_normal_analysis",
+    "plot_fit_comparison",
+    "plot_comparison_raw_vs_amp_only",
     "plot_residual_analysis",
 ]
 
@@ -355,6 +358,117 @@ def plot_split_normal_analysis(results, save_path=None, show_plot=True):
     return fig, axes
 
 
+def save_fit_results(results: dict, output_path: str) -> None:
+    """Export the per-timestep fit parameters/quality as a CSV
+    (ref gaussian_fit_analysis.py:356-379: columns time, amplitude, center,
+    sigma_left, sigma_right, offset, rmse, r_squared)."""
+    import pandas as pd
+    pd.DataFrame({
+        "time": results["time_values"],
+        "amplitude": results["amplitudes"],
+        "center": results["centers"],
+        "sigma_left": results["sigma_lefts"],
+        "sigma_right": results["sigma_rights"],
+        "offset": results["offsets"],
+        "rmse": results["rmse_values"],
+        "r_squared": results["r_squared_values"],
+    }).to_csv(output_path, index=False)
+    print(f"Split Normal fit results saved to: {output_path}")
+
+
+def plot_fit_comparison(plotter, results, time_indices, save_path=None,
+                        show_plot=True):
+    """Fitted curve vs raw data at chosen timesteps — the visual check
+    that a fit is trustworthy at a given time
+    (ref gaussian_fit_analysis.py:282-353)."""
+    import matplotlib.pyplot as plt
+    r = np.asarray(plotter.radial_positions, float)
+    grid = plotter.data.iloc[:, 1:].to_numpy(float)
+    fig, ax = plt.subplots(figsize=(12, 8))
+    colors = plt.get_cmap("viridis")(np.linspace(0, 1,
+                                                 max(len(time_indices), 1)))
+    for i, ti in enumerate(time_indices):
+        if ti >= len(results["time_values"]):
+            continue
+        t = results["time_values"][ti]
+        ax.plot(r, grid[ti, :], "o", color=colors[i], markersize=4,
+                alpha=0.7, label=f"t={t:.2e}s (data)")
+        f = split_normal_function(
+            r, results["amplitudes"][ti], results["centers"][ti],
+            results["sigma_lefts"][ti], results["sigma_rights"][ti],
+            results["offsets"][ti])
+        ax.plot(r, f, "-", color=colors[i], linewidth=2, alpha=0.8,
+                label=(f"t={t:.2e}s (fit, "
+                       f"RMSE={results['rmse_values'][ti]:.2e}, "
+                       f"R²={results['r_squared_values'][ti]:.3f})"))
+    ax.set_xlabel("Radial Position (m)", fontsize=12)
+    ax.set_ylabel("Radial Temperature Gradient (K/m)", fontsize=12)
+    ax.set_title("Split Normal Fit Comparison at Selected Time Points",
+                 fontsize=14, fontweight="bold")
+    ax.grid(True, alpha=0.3)
+    ax.legend(bbox_to_anchor=(1.05, 1), loc="upper left", fontsize=10)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=300, bbox_inches="tight")
+        print(f"Fit comparison plot saved to: {save_path}")
+    if show_plot:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax
+
+
+def plot_comparison_raw_vs_amp_only(plotter, raw_results, amp_only_results,
+                                    time_indices, save_path=None,
+                                    show_plot=True):
+    """Data + full fit + amplitude-only fit side by side at chosen
+    timesteps (ref gaussian_fit_analysis.py:382-428). ``amp_only_results``
+    carries scalar shape parameters (center/sigma_left/sigma_right/offset)
+    as produced by :func:`analyze_split_normal_fits_amplitude_only`."""
+    import matplotlib.pyplot as plt
+    r = np.asarray(plotter.radial_positions, float)
+    grid = plotter.data.iloc[:, 1:].to_numpy(float)
+    fig, ax = plt.subplots(figsize=(12, 8))
+    colors = plt.get_cmap("tab10")(np.linspace(0, 1,
+                                               max(len(time_indices), 1)))
+    for i, ti in enumerate(time_indices):
+        if ti >= len(raw_results["time_values"]):
+            continue
+        t = raw_results["time_values"][ti]
+        ax.scatter(r, grid[ti, :], color=colors[i], s=18, alpha=0.6,
+                   label=f"t={t:.2e}s (data)")
+        f_raw = split_normal_function(
+            r, raw_results["amplitudes"][ti], raw_results["centers"][ti],
+            raw_results["sigma_lefts"][ti], raw_results["sigma_rights"][ti],
+            raw_results["offsets"][ti])
+        ax.plot(r, f_raw, color=colors[i], linestyle="-", linewidth=2,
+                alpha=0.8, label=(f"t={t:.2e}s (raw, "
+                                  f"RMSE={raw_results['rmse_values'][ti]:.1e})"))
+        f_amp = split_normal_function(
+            r, amp_only_results["amplitudes"][ti],
+            amp_only_results["center"], amp_only_results["sigma_left"],
+            amp_only_results["sigma_right"], amp_only_results["offset"])
+        ax.plot(r, f_amp, color=colors[i], linestyle="--", linewidth=2,
+                alpha=0.8,
+                label=(f"t={t:.2e}s (amp-only, "
+                       f"RMSE={amp_only_results['rmse_values'][ti]:.1e})"))
+    ax.set_xlabel("Radial Position (m)", fontsize=12)
+    ax.set_ylabel("Radial Temperature Gradient (K/m)", fontsize=12)
+    ax.set_title("Raw vs Amplitude-Only Split Normal Fit Comparison",
+                 fontsize=14, fontweight="bold")
+    ax.grid(True, alpha=0.3)
+    ax.legend(bbox_to_anchor=(1.05, 1), loc="upper left", fontsize=10)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=300, bbox_inches="tight")
+        print(f"Raw vs amplitude-only comparison plot saved to: {save_path}")
+    if show_plot:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig, ax
+
+
 def plot_residual_analysis(plotter, results, save_path=None, show_plot=True):
     import matplotlib.pyplot as plt
     r = np.asarray(plotter.radial_positions, float)
@@ -383,36 +497,99 @@ def plot_residual_analysis(plotter, results, save_path=None, show_plot=True):
 
 
 def main(argv=None):
+    """CLI with the reference's full flag surface
+    (ref gaussian_fit_analysis.py:481-625) plus this repo's earlier
+    condensed flags kept as aliases. The flow matches the reference: full
+    per-timestep fit → summary stats → amplitude-only pass with
+    time-averaged shape → analysis / comparison / raw-vs-amp plots →
+    optional results + fitted-curve CSV exports."""
     from heatflow_tpu.analysis.radial import RadialGradientPlotter
-    p = argparse.ArgumentParser(description="Split-normal gradient fitting")
+    p = argparse.ArgumentParser(
+        description="Gaussian fitting analysis for radial gradient data")
     p.add_argument("data_path", type=str)
     p.add_argument("--fit-method", choices=["rmse", "maxerr"],
                    default="rmse")
-    p.add_argument("--amplitude-only", action="store_true",
-                   help="second pass with time-averaged shape parameters")
-    p.add_argument("--save-csv", type=str, default=None,
-                   help="export fitted curves (gradient CSV format)")
-    p.add_argument("--save-plots", type=str, default=None)
+    p.add_argument("--save-results", type=str, default=None,
+                   help="Path to save fitting results CSV")
+    p.add_argument("--save-analysis-plot", type=str, default=None)
+    p.add_argument("--save-comparison-plot", type=str, default=None,
+                   help="Path to save fit comparison plot")
+    p.add_argument("--time-indices", type=int, nargs="+",
+                   default=[0, 10, 20, 30],
+                   help="Time indices for comparison plot")
+    p.add_argument("--compare-steps", type=int, nargs="+", default=None,
+                   help="Time indices for raw vs amplitude-only comparison "
+                        "plot (default: every 5th step)")
+    p.add_argument("--save-compare-plot", type=str, default=None,
+                   help="Path to save raw vs amplitude-only comparison plot")
+    p.add_argument("--save-fitted-csv-full", type=str, default=None,
+                   help="full-parameter fitted curves (gradient CSV format)")
+    p.add_argument("--save-fitted-csv-amp", type=str, default=None,
+                   help="amplitude-only fitted curves (gradient CSV format)")
     p.add_argument("--no-show", action="store_true")
+    # condensed aliases from earlier rounds
+    p.add_argument("--amplitude-only", action="store_true",
+                   help="alias: route --save-csv to the amplitude-only pass")
+    p.add_argument("--save-csv", type=str, default=None,
+                   help="alias for --save-fitted-csv-full "
+                        "(--save-fitted-csv-amp with --amplitude-only)")
+    p.add_argument("--save-plots", type=str, default=None,
+                   help="alias for --save-analysis-plot")
     args = p.parse_args(argv)
+    show = not args.no_show
 
     plotter = RadialGradientPlotter(args.data_path)
     results = analyze_split_normal_fits(plotter, fit_method=args.fit_method)
-    print(f"Fitted {len(results['time_values'])} timesteps; "
-          f"mean R² = {results['r_squared_values'].mean():.4f}")
-    if args.amplitude_only:
-        results = analyze_split_normal_fits_amplitude_only(
-            plotter, float(results["centers"].mean()),
-            float(results["sigma_lefts"].mean()),
-            float(results["sigma_rights"].mean()),
-            float(results["offsets"].mean()))
-    if args.save_csv:
-        save_fitted_curves_csv(results, plotter.radial_positions,
-                               args.save_csv)
-        print(f"Fitted curves written to {args.save_csv}")
-    if args.save_plots or not args.no_show:
-        plot_split_normal_analysis(results, save_path=args.save_plots,
-                                   show_plot=not args.no_show)
+
+    print("\nSplit Normal Fitting Summary:")
+    print(f"  Average RMSE: {np.mean(results['rmse_values']):.2e} K/m")
+    print(f"  Average R²: {np.mean(results['r_squared_values']):.3f}")
+    t_best = results["time_values"][np.argmax(results["r_squared_values"])]
+    t_worst = results["time_values"][np.argmin(results["r_squared_values"])]
+    print(f"  Best fit time: t={t_best:.2e}s")
+    print(f"  Worst fit time: t={t_worst:.2e}s")
+    print("Total RMSE summed across all time steps: "
+          f"{np.sum(results['rmse_values']):.2e} K/m")
+
+    avg_center = float(np.mean(results["centers"]))
+    avg_sl = float(np.mean(results["sigma_lefts"]))
+    avg_sr = float(np.mean(results["sigma_rights"]))
+    avg_off = float(np.mean(results["offsets"]))
+    print("\nAveraged parameters (excluding amplitude):")
+    print(f"  center: {avg_center:.3e}, sigma_left: {avg_sl:.3e}, "
+          f"sigma_right: {avg_sr:.3e}, offset: {avg_off:.3e}")
+    amp_only = analyze_split_normal_fits_amplitude_only(
+        plotter, avg_center, avg_sl, avg_sr, avg_off)
+    print("Total RMSE (amplitude-only fit): "
+          f"{np.sum(amp_only['rmse_values']):.2e} K/m")
+
+    analysis_path = args.save_analysis_plot or args.save_plots
+    if analysis_path or show:
+        plot_split_normal_analysis(results, save_path=analysis_path,
+                                   show_plot=show)
+    if args.save_comparison_plot or show:
+        plot_fit_comparison(plotter, results, args.time_indices,
+                            save_path=args.save_comparison_plot,
+                            show_plot=show)
+    compare_idx = (args.compare_steps if args.compare_steps
+                   else list(range(0, len(results["time_values"]), 5)))
+    if args.save_compare_plot or show:
+        plot_comparison_raw_vs_amp_only(plotter, results, amp_only,
+                                        compare_idx,
+                                        save_path=args.save_compare_plot,
+                                        show_plot=show)
+    if args.save_results:
+        save_fit_results(results, args.save_results)
+    csv_full = args.save_fitted_csv_full or (
+        None if args.amplitude_only else args.save_csv)
+    csv_amp = args.save_fitted_csv_amp or (
+        args.save_csv if args.amplitude_only else None)
+    if csv_full:
+        save_fitted_curves_csv(results, plotter.radial_positions, csv_full)
+        print(f"Saved fitted curves to: {csv_full}")
+    if csv_amp:
+        save_fitted_curves_csv(amp_only, plotter.radial_positions, csv_amp)
+        print(f"Saved fitted curves to: {csv_amp}")
 
 
 if __name__ == "__main__":

@@ -215,3 +215,88 @@ def test_gradcheck(gradient_csv):
     assert stats["nonzero_fraction"] > 0.99
     st = source_term_magnitude(path)
     assert st["max_abs_source"] > 0
+
+
+def test_fit_reporting_surface(gradient_csv, tmp_path):
+    """Round-5 parity trio (ref gaussian_fit_analysis.py:282,356,382):
+    save_fit_results CSV schema; comparison plots return fig/ax and save
+    300-dpi PNGs."""
+    import pandas as pd
+    from heatflow_tpu.analysis.splitnormal import (
+        plot_comparison_raw_vs_amp_only, plot_fit_comparison,
+        save_fit_results)
+    path, times, z, rows = gradient_csv
+    pl = RadialGradientPlotter(path)
+    results = analyze_split_normal_fits(pl)
+    amp_only = analyze_split_normal_fits_amplitude_only(
+        pl, float(results["centers"].mean()),
+        float(results["sigma_lefts"].mean()),
+        float(results["sigma_rights"].mean()),
+        float(results["offsets"].mean()))
+
+    res_csv = tmp_path / "fit_results.csv"
+    save_fit_results(results, str(res_csv))
+    df = pd.read_csv(res_csv)
+    assert list(df.columns) == ["time", "amplitude", "center", "sigma_left",
+                                "sigma_right", "offset", "rmse", "r_squared"]
+    np.testing.assert_allclose(df["time"], times)
+    np.testing.assert_allclose(df["amplitude"], results["amplitudes"])
+
+    p1 = tmp_path / "cmp.png"
+    fig, ax = plot_fit_comparison(pl, results, [0, 5, 10, 500],
+                                  save_path=str(p1), show_plot=False)
+    assert p1.exists() and p1.stat().st_size > 1000
+    p2 = tmp_path / "raw_vs_amp.png"
+    fig, ax = plot_comparison_raw_vs_amp_only(pl, results, amp_only,
+                                              [0, 5, 10], save_path=str(p2),
+                                              show_plot=False)
+    assert p2.exists() and p2.stat().st_size > 1000
+
+
+def test_splitnormal_cli_reference_flags(gradient_csv, tmp_path):
+    """The reference's gaussian_fit_analysis.py command line runs unmodified
+    modulo module path (ref :486-506): every flag accepted, every artifact
+    written."""
+    import pandas as pd
+    from heatflow_tpu.analysis.splitnormal import main as sn_main
+    path, times, z, rows = gradient_csv
+    arts = {k: tmp_path / f"{k}.{ext}" for k, ext in
+            (("results", "csv"), ("analysis", "png"), ("comparison", "png"),
+             ("compare", "png"), ("full", "csv"), ("amp", "csv"))}
+    sn_main([path, "--fit-method", "rmse",
+             "--save-results", str(arts["results"]),
+             "--save-analysis-plot", str(arts["analysis"]),
+             "--save-comparison-plot", str(arts["comparison"]),
+             "--time-indices", "0", "3", "7",
+             "--compare-steps", "0", "10",
+             "--save-compare-plot", str(arts["compare"]),
+             "--save-fitted-csv-full", str(arts["full"]),
+             "--save-fitted-csv-amp", str(arts["amp"]),
+             "--no-show"])
+    for k, f in arts.items():
+        assert f.exists(), k
+    t2, z2, v2 = read_gradient_csv(str(arts["full"]))
+    np.testing.assert_allclose(t2, times)
+    assert v2.shape == rows.shape
+    t3, _z3, v3 = read_gradient_csv(str(arts["amp"]))
+    assert v3.shape == rows.shape
+    df = pd.read_csv(arts["results"])
+    assert len(df) == len(times)
+
+
+def test_radial_cli_reference_flags(gradient_csv, tmp_path):
+    """plot_radial_gradient.py's CLI runs unmodified modulo module path
+    (ref :236-251): --plot-type both, --time-indices, --figsize."""
+    from heatflow_tpu.analysis.radial import main as radial_main
+    path, *_ = gradient_csv
+    ev, hm = tmp_path / "ev.png", tmp_path / "hm.png"
+    radial_main([path, "--plot-type", "both",
+                 "--time-indices", "0", "5", "10",
+                 "--figsize", "10", "6",
+                 "--save-evolution", str(ev),
+                 "--save-heatmap", str(hm), "--no-show"])
+    assert ev.exists() and hm.exists()
+    # condensed aliases still work
+    s = tmp_path / "alias.png"
+    radial_main([path, "--heatmap", "--save", str(s), "--no-show"])
+    assert s.exists()
