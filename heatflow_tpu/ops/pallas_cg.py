@@ -541,10 +541,18 @@ def cg_vmem_solve(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
 
     def solve_fn(_mv, rhs):
         c = jnp.sum(rhs * b) / bb_safe
-        x, _it = cg_vmem_tol(A, sm, rhs, c * x0, rtol, maxiter=maxiter,
+        # The barriers keep the Pallas call OUT of the surrounding XLA
+        # fusions. Under jax.linearize/grad the tangent scan saves full
+        # per-step fields; without the barrier XLA fuses the kernel into
+        # the (S, Nz, Nr) saved-primal stack write and the combined
+        # fusion's scoped-VMEM demand (37.02M measured at the read_flux
+        # flagship) busts the default ~34M limit — an AOT compile error,
+        # not an OOM at run time (round-4 fit finding 2, fixed round 5).
+        rhs_b = jax.lax.optimization_barrier(rhs)
+        x, _it = cg_vmem_tol(A, sm, rhs_b, c * x0, rtol, maxiter=maxiter,
                              rtol_wrt=rtol_wrt, interpret=interpret,
                              pcr=pcr, pcr_z=pcr_z)
-        return x
+        return jax.lax.optimization_barrier(x)
 
     from heatflow_tpu.ops.stencil import apply_stencil
     op = lambda v: sm * apply_stencil(A, sm * v)
