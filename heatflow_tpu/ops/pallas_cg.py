@@ -9,6 +9,16 @@ kernel loads everything once, runs a fixed number of CG iterations entirely
 out of VMEM (stencil applies and reductions are VPU work), and writes back
 only the solution — the speed-of-light regime for this operator.
 
+"Speed-of-light" is measured, not asserted (round 5,
+benchmarks/bench_roofline.py, BENCHMARKS.md "Roofline"): at the flagship
+shape the kernel's no-shift streaming floor runs at 100.7% of the VPU's
+1-load/cycle issue bound (~3.85 TB/s effective), the 7-point apply costs
+1.29x that floor (the pad is fused by Mosaic; the residual is intrinsic
+unaligned-lane access — an explicit pltpu.roll variant measured SLOWER),
+and the composed rline/adi iterations run FASTER than the sum of their
+isolated phases (5.4 TB/s-equivalent min-traffic rate). Rejected
+variants, all measured: roll shifts (r and z), bf16 PCR factor stacks.
+
 Preconditioning: the caller passes the symmetrically-scaled operator (unit
 diagonal) with Dirichlet rows/columns eliminated to the identity, so the
 kernel needs no masks and no preconditioner (Jacobi ≡ identity after
