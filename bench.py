@@ -133,6 +133,55 @@ def bench_tpu(problem, *, rtol=1e-4, maxiter=8000):
     }
 
 
+def bench_sweep(n_configs=1024, step_chunk=25):
+    """Second headline metric (BASELINE.md): vmapped sweep configs/sec per
+    chip at the >=1000-config north-star, on the standing sweep protocol
+    (BENCHMARKS.md "Sweeps": geballe_no_diamond mesh 243x1001, kappa
+    log-spaced in [1, 100], the config's full 40-step transients, f32
+    production defaults — batched VMEM engine, rtol 1e-4 wrt ||b||,
+    jacobi — time-chunked to keep device calls bounded)."""
+    import jax.numpy as jnp
+    from heatflow_tpu.config import load_config
+    from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+    from heatflow_tpu.mesh.structured import build_structured_mesh
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+    from heatflow_tpu.sim.sweepkernel import run_sweep_time_chunked
+
+    cfg = load_config(os.path.join(ROOT, "cfgs", "geballe_no_diamond.yaml"))
+    cfg["heating"]["file"] = os.path.join(ROOT, "experimental_data",
+                                          "geballe_heat_data.csv")
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    heating = HeatingCurve.from_csv(cfg["heating"]["file"])
+    problem = build_problem(mesh, heating, cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    B = n_configs
+    ks = np.logspace(0.0, 2.0, B)
+    fs = np.full(B, float(cfg["heating"]["fwhm"]))
+
+    def once():
+        t0 = time.time()
+        tr = np.asarray(run_sweep_time_chunked(
+            problem, ks, fs, step_chunk=step_chunk, solver="vmem",
+            rtol=1e-4, dtype=jnp.float32))
+        return time.time() - t0, tr
+
+    for attempt in range(3):       # relay retry, same as timed_call
+        try:
+            cold, tr = once()
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"# sweep call failed ({type(e).__name__}); retrying",
+                  file=sys.stderr)
+            time.sleep(10)
+    warm = min(once()[0], once()[0])
+    return {"configs_per_sec": B / warm, "batch": B, "warm_s": warm,
+            "cold_s": cold, "finite_frac": float(np.isfinite(tr).mean())}
+
+
 def bench_baseline(problem):
     """Factor-once sparse LU backward-Euler steps/sec (reference algorithm)
     on this machine's CPU, on the identical operator."""
@@ -200,9 +249,17 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(tpu["steps_per_sec"] / base["steps_per_sec"], 3),
     }
+    # second headline metric (BASELINE.md): >=1000 concurrent sweep
+    # configs/sec per chip — reported in the same JSON line
+    try:
+        sw = bench_sweep()
+        result["sweep_cfgs_per_sec"] = round(sw["configs_per_sec"], 2)
+        result["sweep_batch"] = sw["batch"]
+    except Exception as e:
+        sw = {"error": f"{type(e).__name__}: {e}"}
     # diagnostics to stderr; the contract is ONE json line on stdout
     print(f"# mesh {problem.mesh.shape}, {problem.mesh.num_nodes} nodes; "
-          f"tpu: {tpu}; baseline: {base}", file=sys.stderr)
+          f"tpu: {tpu}; baseline: {base}; sweep: {sw}", file=sys.stderr)
     print(json.dumps(result))
 
 
