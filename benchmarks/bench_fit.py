@@ -14,9 +14,10 @@ Protocol: geballe_no_diamond_read_flux (real Geballe heating + o-side
 data), flagship mesh, (kappa, FWHM) free over the default search box.
 Two engines, same fit settings otherwise:
 
-  fast — f32 defaults (resolve_fit_solver: rtol 1e-5 wrt r0, XLA solver,
-         jacobi — the measured-fastest end-to-end fit recipe; vmem/rline
-         stays available via explicit --solver/--precondition) — what
+  fast — f32 defaults (resolve_fit_solver: rtol 1e-5 wrt r0; as of
+         round 5 'auto' resolves to the VMEM rline engine on TPU when
+         the problem fits — measured fastest in every fit phase,
+         expt_fit_engines_r5.py) — what
          `python -m heatflow_tpu.drivers.fit` runs
   xla  — the round-3 path: f32 XLA solver, jacobi, same rtol/rtol_wrt
          (the converging variant of the old default; the old rtol=1e-10

@@ -94,23 +94,20 @@ def resolve_fit_solver(dtype, rtol, rtol_wrt, solver, precondition,
     experimental fit minima (BENCHMARKS.md ~0.007), the latter
     comfortably below it.
 
-    Solver/preconditioner default to the plain XLA jacobi path for BOTH
-    dtypes — the measured-fastest end-to-end fit recipe on TPU
-    (BENCHMARKS.md "gradient-based fit engines", all interleaved on the
-    flagship fit point): (a) the vmapped multi-start refinement runs
-    lock-step lanes whose shared-stencil HBM traffic amortizes jacobi's
-    extra iterations (31 vmapped-2 Adam steps: jacobi 29.0 s vs rline
-    39.4 s, though a SINGLE unvmapped grad trajectory inverts to rline
-    0.48 vs jacobi 0.99 s/step); (b) reverse mode through the VMEM
-    kernel (``cg_vmem_solve``) is slower still and trips an XLA
-    scoped-vmem fusion limit in the backward scan on this toolchain;
-    (c) the batched-vmem coarse program misses the persistent compile
-    cache across processes (~200 s re-compile per CLI invocation,
-    measured) where the XLA programs hit it. Explicit
-    ``solver='vmem'`` / ``precondition='rline'|'adi'`` remain supported
-    and tested on every path. Returns
+    Solver/preconditioner: f32 on TPU defaults to the **VMEM rline
+    engine** when the problem fits the kernel's budget — the round-5
+    interleaved re-A/B (`benchmarks/expt_fit_engines_r5.py`, flagship
+    fit point) measured it fastest in EVERY fit phase: coarse 8-config
+    batch 0.66 vs 0.99 s, vmapped 3-start Adam step 0.81 vs 1.02 s, GN
+    linearize 0.38 vs 0.55 s (xla+jacobi). The two round-4 blockers that
+    pinned the old XLA default are gone: the scoped-VMEM fusion failure
+    in reverse mode is fixed (optimization_barrier in ``cg_vmem_solve``
+    — which also inverted the vmapped-Adam ranking), and the
+    cross-process compile-cache miss does not reproduce (flagship coarse
+    program verified hitting the persistent cache from a fresh process).
+    f64, CPU, and VMEM-overflow problems keep the XLA jacobi path.
+    Explicit ``solver``/``precondition`` always win. Returns
     (rtol, rtol_wrt, solver, precondition)."""
-    del problem  # solver choice no longer shape-dependent (see docstring)
     f64 = jnp.dtype(dtype) == jnp.float64
     if rtol is None:
         rtol = 1e-10 if f64 else 1e-5
@@ -118,8 +115,21 @@ def resolve_fit_solver(dtype, rtol, rtol_wrt, solver, precondition,
         rtol_wrt = "b" if f64 else "r0"
     if solver in (None, "auto"):
         solver = "xla"
+        if not f64 and jax.default_backend() == "tpu" \
+                and problem is not None:
+            from heatflow_tpu.mesh.msh_io import UnstructuredMesh
+            from heatflow_tpu.sim.unstructured import ProblemUnstructured
+            if not isinstance(problem, ProblemUnstructured) \
+                    and not isinstance(getattr(problem, "mesh", None),
+                                       UnstructuredMesh):
+                from heatflow_tpu.ops.pallas_cg import (fits_in_vmem,
+                                                        rline_extra_planes)
+                nz, nr = problem.mesh.shape
+                if fits_in_vmem(nz, nr, dtype,
+                                extra_planes=rline_extra_planes(nr)):
+                    solver = "vmem"
     if precondition is None:
-        precondition = "jacobi"
+        precondition = "rline" if solver == "vmem" else "jacobi"
     return rtol, rtol_wrt, solver, precondition
 
 
@@ -135,13 +145,13 @@ def experimental_objective(problem, *, dtype=jnp.float64,
     ProblemUnstructured (overlay/ELL path, implicit-diff solves).
 
     ``rtol``/``rtol_wrt``/``solver``/``precondition`` default per dtype via
-    :func:`resolve_fit_solver` — f32 resolves to converging
-    increment-relative stopping on the measured-fastest XLA jacobi path,
-    f64 to the exact-parity regime; ``solver='vmem'`` routes the
-    implicit-diff solves through the Pallas kernel
+    :func:`resolve_fit_solver` — f32 on TPU resolves to converging
+    increment-relative stopping on the VMEM rline engine when the
+    problem fits the kernel (round-5 measured-fastest in every fit
+    phase), f64 to the exact-parity XLA regime; ``solver='vmem'`` routes
+    the implicit-diff solves through the Pallas kernel
     (``pallas_cg.cg_vmem_solve``) and ``precondition='rline'|'adi'``
     selects the line engines on either solver."""
-    solver_explicit = solver not in (None, "auto")
     rtol, rtol_wrt, solver, precondition = resolve_fit_solver(
         dtype, rtol, rtol_wrt, solver, precondition, problem)
     heating = problem.heating
@@ -193,19 +203,19 @@ def experimental_objective(problem, *, dtype=jnp.float64,
         return objective
 
     warm = "extrapolate" if jnp.dtype(dtype) == jnp.float32 else "previous"
-    # batch (coarse-sweep) engine: the resolved solver — under the
-    # defaults resolve_fit_solver pins solver='xla', precondition='jacobi'
-    # for both dtypes (measured-fastest fit recipe); vmem/rline engages
-    # only on explicit --solver/--precondition
+    # batch (coarse-sweep) engine: the resolved solver — f32 on TPU
+    # resolves to vmem+rline when the problem fits the kernel (round-5
+    # measured-fastest in every phase, resolve_fit_solver); f64/CPU/
+    # oversized problems resolve to xla+jacobi
     fn = make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
                        rtol_wrt=rtol_wrt, solver=solver,
                        precondition=precondition, warm_start=warm)
-    # gradient engine: an explicit solver='vmem' request routes the
-    # implicit-diff solves through the VMEM kernel (cg_vmem_solve);
-    # under the default resolution both engines are the same XLA maker
-    # (measured fastest — see resolve_fit_solver) and the memoized maker
-    # is simply reused.
-    fn_g = fn if solver == "vmem" and solver_explicit else \
+    # gradient engine: follows the RESOLVED solver — on the vmem path the
+    # implicit-diff solves route through the VMEM kernel (cg_vmem_solve),
+    # the round-5 measured winner for gradients too (0.81 vs 1.02 s/step
+    # vmapped Adam, 0.38 vs 0.55 s GN linearize — expt_fit_engines_r5.py;
+    # the old XLA pin predated the cg_vmem_solve fusion-barrier fix).
+    fn_g = fn if solver == "vmem" else \
         make_sweep_fn(problem, dtype=dtype, rtol=rtol, maxiter=maxiter,
                       rtol_wrt=rtol_wrt, solver="xla",
                       precondition=precondition, warm_start=warm)
@@ -352,14 +362,14 @@ def main(argv=None):
                         "setting — 1e-10 wrt b at f64, 1e-5 wrt r0 at f32)")
     p.add_argument("--solver", default="auto",
                    choices=["auto", "xla", "vmem"],
-                   help="'auto' resolves to the XLA implicit-diff path "
-                        "(measured fastest end-to-end; 'vmem' routes "
-                        "solves through the Pallas kernel)")
+                   help="'auto' resolves to the VMEM rline engine for "
+                        "f32 on TPU (round-5 measured-fastest in every "
+                        "fit phase), the XLA path otherwise")
     p.add_argument("--precondition", default=None,
                    choices=["jacobi", "rline", "adi", "mg"],
-                   help="CG preconditioner (default: jacobi — the "
-                        "measured-fastest vmapped multi-start recipe; "
-                        "rline wins for single-trajectory grads)")
+                   help="CG preconditioner (default: rline on the VMEM "
+                        "engine, jacobi on the XLA path — round-5 "
+                        "measured regime map, expt_fit_engines_r5.py)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
