@@ -106,10 +106,12 @@ def main():
             # exponent (b:1e+3) is not mis-split into 'b:1e' + precond '3'
             head, tail = row.rsplit("+", 1)   # e.g. r0:1e-4+adi
             if tail.isalpha():
-                if tail not in ("rline", "adi", "mg", "zline", "jacobi"):
+                if tail not in ("rline", "adi", "adaptive", "mg", "zline",
+                                "jacobi"):
                     raise SystemExit(
                         f"unknown preconditioner suffix {tail!r} in row "
-                        f"{row!r} (known: rline, adi, mg, zline, jacobi)")
+                        f"{row!r} (known: rline, adi, adaptive, mg, "
+                        "zline, jacobi)")
                 row, pre = head, tail
             # else: the '+' is part of the rtol (e.g. b:1e+3) — no split
         if row == "fixed120":

@@ -706,7 +706,7 @@ def cg_vmem_batched(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
 def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
                          rtol_wrt: str, rline: bool = False,
                          adi: bool = False, has_kv: bool = True,
-                         merged: bool = False):
+                         merged: bool = False, adaptive: bool = False):
     """Tolerance-based per-config solve for the sweep engine: one grid step
     combines this config's operator on-chip and runs the whole while_loop CG
     (stopping rule identical to ops.cg.pcg: ||r|| <= rtol·||b|| for 'b',
@@ -724,8 +724,19 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
     ``has_kv=False``: no varying-coefficient stencil (e.g. the recording
     engine's per-step mass projection, whose operator is config-independent)
     — the Kv operand is dropped and the solve runs on A0 directly, saving
-    its n_points VMEM planes and HBM streaming per call."""
+    its n_points VMEM planes and HBM streaming per call.
+
+    ``adaptive``: per-config rline/adi switch — a (B,) int32 flags operand
+    (inserted after rtol) selects, per grid step, the split-additive ADI
+    composition (flag != 0: both stacks factored, deep-solve regime) or
+    the plain r-line solve (z factorization skipped via ``pl.when``, its
+    per-iteration phase skipped via ``lax.cond``) — the batched twin of
+    the single-problem per-step switch (stepper precondition='adaptive'),
+    driven by the previous step's per-lane iteration counts."""
     b_idx = pl.program_id(0)
+    if adaptive:
+        flags_ref, *rest = rest
+        use_adi = flags_ref[b_idx] != 0
     if has_kv:
         Kv_ref, sm_ref, b_ref, x0_ref, x_ref, it_ref, *rest = rest
         C = A0_ref[:] + dk_ref[b_idx] * Kv_ref[:]
@@ -735,12 +746,29 @@ def _sweep_cg_tol_kernel(dk_ref, rtol_ref, A0_ref, *rest, maxiter: int,
     sm = sm_ref[0]
     b = b_ref[0]
     x = x0_ref[0]
-    preconditioned = rline or adi
+    preconditioned = rline or adi or adaptive
 
     def apply_op(y):
         return sm * _apply7(C, sm * y)
 
-    if adi:
+    if adaptive:
+        scr_r, scr_z = rest
+        n_r = (scr_r.shape[0] - 1) // 2
+        n_z = (scr_z.shape[0] - 1) // 2
+        _line_factor_into(C, sm, scr_r, n_r, axis=-1)
+
+        @pl.when(use_adi)
+        def _():
+            _line_factor_into(C, sm, scr_z, n_z, axis=-2)
+
+        def precond(rr):
+            return jax.lax.cond(
+                use_adi,
+                lambda r: (_pcr_precond(scr_r, r, n_r)
+                           + _pcr_precond(scr_z, r, n_z, axis=-2) - r),
+                lambda r: _pcr_precond(scr_r, r, n_r),
+                rr)
+    elif adi:
         scr_r, scr_z = rest
         n_r = (scr_r.shape[0] - 1) // 2
         n_z = (scr_z.shape[0] - 1) // 2
@@ -818,7 +846,7 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
                         rtol: float | jnp.ndarray, *, maxiter: int = 4000,
                         rtol_wrt: str = "b", interpret: bool = False,
                         rline: bool = False, adi: bool = False,
-                        merged: bool | None = None):
+                        merged: bool | None = None, adi_flags=None):
     """Tolerance-based batched per-config VMEM CG (grid over configs).
 
     Same operator convention as ``cg_vmem_batched`` but each config runs to
@@ -839,20 +867,25 @@ def cg_vmem_batched_tol(A0: jnp.ndarray, Kv: jnp.ndarray, dks: jnp.ndarray,
     if rline and adi:
         raise ValueError("rline and adi are mutually exclusive (adi "
                          "already contains the r-line stack)")
+    if adi_flags is not None and (rline or adi):
+        raise ValueError("adi_flags (the per-config adaptive rline/adi "
+                         "switch) replaces the static rline/adi flags")
     if merged is None:
         # resolved OUTSIDE the jitted core (see cg_vmem_tol)
         merged = MERGED_DEFAULT
     return _cg_vmem_batched_tol_jit(A0, Kv, dks, sm, b, x0, rtol,
                                     maxiter=maxiter, rtol_wrt=rtol_wrt,
                                     interpret=interpret, rline=rline,
-                                    adi=adi, merged=merged)
+                                    adi=adi, merged=merged,
+                                    adi_flags=adi_flags)
 
 
 @functools.partial(jax.jit, static_argnames=("maxiter", "rtol_wrt",
                                              "interpret", "rline", "adi",
                                              "merged"))
 def _cg_vmem_batched_tol_jit(A0, Kv, dks, sm, b, x0, rtol, *, maxiter,
-                             rtol_wrt, interpret, rline, adi, merged):
+                             rtol_wrt, interpret, rline, adi, merged,
+                             adi_flags=None):
     B, nz, nr = b.shape
     npts = A0.shape[0]
     # scalar rtol or per-config (B,) — e.g. the f64-refine degenerate-lane
@@ -863,7 +896,8 @@ def _cg_vmem_batched_tol_jit(A0, Kv, dks, sm, b, x0, rtol, *, maxiter,
                            memory_space=pltpu.VMEM)
     shared = pl.BlockSpec((npts, nz, nr), _imap_shared,
                           memory_space=pltpu.VMEM)
-    if adi:
+    adaptive = adi_flags is not None
+    if adi or adaptive:
         scratch = [pltpu.VMEM((rline_extra_planes(nr), nz, nr), b.dtype),
                    pltpu.VMEM((rline_extra_planes(nz), nz, nr), b.dtype)]
     elif rline:
@@ -874,16 +908,21 @@ def _cg_vmem_batched_tol_jit(A0, Kv, dks, sm, b, x0, rtol, *, maxiter,
     # mass projection) — drop the varying stencil operand entirely instead
     # of streaming npts zero planes into VMEM every call
     kv_ops, kv_specs = ((), ()) if Kv is None else ((Kv,), (shared,))
+    fl_ops, fl_specs = ((), ())
+    if adaptive:
+        flags = jnp.asarray(adi_flags, jnp.int32)
+        fl_ops, fl_specs = (flags,), (_smem_whole(flags.shape),)
     x, it = pl.pallas_call(
         functools.partial(_sweep_cg_tol_kernel, maxiter=maxiter,
                           rtol_wrt=rtol_wrt, rline=rline, adi=adi,
-                          has_kv=Kv is not None, merged=merged),
+                          has_kv=Kv is not None, merged=merged,
+                          adaptive=adaptive),
         grid=(B,),
         out_shape=(jax.ShapeDtypeStruct((B, nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((B,), jnp.int32)),
         in_specs=[_smem_whole(dks.shape),
                   _smem_whole(rtol_arr.shape),
-                  shared, *kv_specs, per_cfg, per_cfg, per_cfg],
+                  shared, *fl_specs, *kv_specs, per_cfg, per_cfg, per_cfg],
         out_specs=(per_cfg,
                    _smem_whole((B,))),
         scratch_shapes=scratch,
@@ -895,12 +934,14 @@ def _cg_vmem_batched_tol_jit(A0, Kv, dks, sm, b, x0, rtol, *, maxiter,
             # planes the per-iteration _pcr_precond passes read when
             # preconditioned (rline: the r stack; adi: both stacks)
             bytes_accessed=(14 + (4 + (rline_extra_planes(nr)
-                                       if (rline or adi) else 0)
-                                  + (rline_extra_planes(nz) if adi else 0))
+                                       if (rline or adi or adaptive)
+                                       else 0)
+                                  + (rline_extra_planes(nz)
+                                     if (adi or adaptive) else 0))
                             * B) * nz * nr * 4,
             transcendentals=0),
         interpret=interpret,
-    )(dks, rtol_arr, A0, *kv_ops, sm, b, x0)
+    )(dks, rtol_arr, A0, *fl_ops, *kv_ops, sm, b, x0)
     return x, it
 
 

@@ -31,7 +31,8 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                     num_steps, base_k, fixed_iters, rtol, maxiter,
                     extrapolate, rline=False, adi=False, rtol_wrt="b",
                     f64_refine=0, record=None, proj_rtol=1e-11,
-                    proj_maxiter=400):
+                    proj_maxiter=400, adaptive=False,
+                    adaptive_thresh=100):
     """Whole-batch backward-Euler scan with the per-config Pallas VMEM
     solvers (shared by the structured sweep engine and the grid-overlay
     unstructured one). ``ops`` needs stencils A0/K_var/M_op (7- or 9-point,
@@ -49,6 +50,16 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     batched emulated-f64 stencil apply) around the f32 batched VMEM
     correction solve, carrying the fields in f64. Breaks the f32
     operator-representation floor per sweep lane.
+
+    ``adaptive``: per-config, per-step rline/adi switch — the batched twin
+    of ``stepper.make_simulate_fn(precondition='adaptive')``: a lane whose
+    PREVIOUS step exceeded ``adaptive_thresh`` CG iterations runs this
+    step's solve with the split-additive ADI composition (both line
+    stacks factored in-kernel for that lane only), shallow lanes the
+    plain r-line solve. The per-lane iteration counts thread through the
+    scan carry, initialized to ``maxiter`` (every lane's first step runs
+    ADI — the cold start IS the deep solve). Mutually exclusive with
+    ``rline``/``adi``.
 
     ``record``: artifact-parity recording at VMEM speed — a dict with the
     lattice projection stencils ``Mp``/``Gr``, scaling plane ``s_mp``,
@@ -106,11 +117,22 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
         apply_Grb = jax.vmap(lambda v: apply_stencil(Gr, v))
         n_bins = len(record["bin_counts"])
 
+    if adaptive and (rline or adi):
+        raise ValueError("adaptive replaces the static rline/adi flags")
+    if adaptive and fixed_iters is not None:
+        raise ValueError("the adaptive switch is tolerance-based "
+                         "(iteration counts drive it); drop fixed_iters")
+
     def step(carry, t):
+        it_prev = None
+        if adaptive:
+            carry, it_prev = carry[:-1], carry[-1]
         if record is not None:
             U, U_pp, GR, GR_pp = carry
         else:
             U, U_pp = carry
+        flags = (it_prev > adaptive_thresh).astype(jnp.int32) \
+            if adaptive else None
         amp = jnp.interp(t, ops["heat_t"], ops["heat_T"]) - amp_offset
         G = g0 + amp * g1
         Bv = (apply_Mb(U) - (Ag0 + amp * Ag1)) * sm
@@ -125,6 +147,7 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                                                        axis=(1, 2))
             Y = Y0
             Z0 = jnp.zeros(Bv.shape, dtype)
+            it_new = it_prev
             for _ in range(f64_refine):
                 R = Bv - sm * apply_Ab(dks, sm * Y)
                 rn2 = jnp.sum(R * R, axis=(1, 2))
@@ -136,8 +159,10 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                     A0_32, Kv_32, dks_32, sm_32,
                     (R / rnorm[:, None, None]).astype(dtype), Z0,
                     rtol_eff, maxiter=maxiter, interpret=interpret,
-                    rline=rline, adi=adi, rtol_wrt="b")
+                    rline=rline, adi=adi, rtol_wrt="b",
+                    adi_flags=flags)
                 Y = Y + dY.astype(cdt) * rnorm[:, None, None]
+                it_new = _its   # last inner pass drives next step's switch
             X = Y
         elif fixed_iters is not None:
             X = cg_vmem_batched(ops["A0"], ops["K_var"], dks, sm, Bv, Y0,
@@ -146,11 +171,12 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
             X, _it = cg_vmem_batched_tol(
                 ops["A0"], ops["K_var"], dks, sm, Bv, Y0, rtol,
                 maxiter=maxiter, interpret=interpret, rline=rline,
-                adi=adi, rtol_wrt=rtol_wrt)
+                adi=adi, rtol_wrt=rtol_wrt, adi_flags=flags)
+            it_new = _it
         Un = X * sm + G
         watch = Un.reshape(Un.shape[0], -1)[:, ops["watch"]]
         if record is None:
-            return (Un, U), watch
+            return ((Un, U, it_new) if adaptive else (Un, U)), watch
         # per-step r-weighted L2 gradient projection, every lane through
         # the batched VMEM kernel — seeded from the previous gradient, or
         # its linear time extrapolation under warm_start='extrapolate'
@@ -173,7 +199,8 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
                 "band": sums / record["bin_counts"],
                 "axis": gr.reshape(gr.shape[0], -1)[:,
                                                     record["axis_nodes"]]}
-        return (Un, U, gr, GR), outs
+        return ((Un, U, gr, GR, it_new) if adaptive
+                else (Un, U, gr, GR)), outs
 
     # times formed as (step0 + i)·dt in ONE rounding so a chunked run's
     # absolute times are bitwise those of the unchunked scan (adding
@@ -182,14 +209,17 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     ts = (jnp.arange(1, num_steps + 1, dtype=cdt)
           + jnp.asarray(step0, cdt)) * dt
     u00 = jnp.asarray(u0, cdt)
+    # adaptive carry init: every lane 'deep' — the cold start is the one
+    # guaranteed-deep solve (same convention as the single-problem switch)
+    it0 = (jnp.full((B,), maxiter, jnp.int32),) if adaptive else ()
     if record is not None:
         gr0 = jnp.zeros((B,) + s_mp.shape, dtype)
-        (u_fin, u_pen, _gr_fin, _gr_pen), outs = jax.lax.scan(
-            step, (u00, jnp.asarray(u_pp, cdt), gr0, gr0), ts)
+        (u_fin, u_pen, _gr_fin, _gr_pen, *_its), outs = jax.lax.scan(
+            step, (u00, jnp.asarray(u_pp, cdt), gr0, gr0) + it0, ts)
         outs = {k: jnp.swapaxes(v, 0, 1) for k, v in outs.items()}
         return outs, u_fin, u_pen
-    (u_fin, u_pen), traces = jax.lax.scan(
-        step, (u00, jnp.asarray(u_pp, cdt)), ts)
+    (u_fin, u_pen, *_its), traces = jax.lax.scan(
+        step, (u00, jnp.asarray(u_pp, cdt)) + it0, ts)
     return jnp.swapaxes(traces, 0, 1), u_fin, u_pen
 
 
@@ -272,8 +302,15 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
         # silently degrading a typo'd/unsupported seed to 'previous'
         raise ValueError(f"unknown warm_start {warm_start!r} for sweep "
                          "engines (use 'previous' or 'extrapolate')")
-    if precondition not in ("jacobi", "mg", "rline", "zline", "adi"):
+    if precondition not in ("jacobi", "mg", "rline", "zline", "adi",
+                            "adaptive"):
         raise ValueError(f"unknown precondition {precondition!r}")
+    if precondition == "adaptive" and solver != "vmem":
+        # the per-lane rline/adi switch exists only in the batched VMEM
+        # kernel (same convention as the single-problem stepper's switch)
+        raise ValueError("precondition='adaptive' requires solver='vmem' "
+                         "for sweeps (the per-lane switch lives in the "
+                         "batched VMEM kernel)")
     if f64_refine:
         # mixed-precision sweeps: f64-residual refinement around the f32
         # batched VMEM correction solves (vmem_sweep_scan docstring)
@@ -453,6 +490,7 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
                                extrapolate=extrapolate,
                                rline=precondition == "rline",
                                adi=precondition == "adi",
+                               adaptive=precondition == "adaptive",
                                rtol_wrt=rtol_wrt, f64_refine=f64_refine)
 
     if solver == "vmem":
@@ -461,18 +499,21 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             raise ValueError("solver='vmem' shards the config axis only "
                              "(whole problems stay on one chip); use "
                              "z_shards=1")
-        if precondition in ("rline", "adi") and fixed_iters is not None:
+        if precondition in ("rline", "adi", "adaptive") \
+                and fixed_iters is not None:
             raise ValueError(f"{precondition}-preconditioned vmem sweeps "
                              "are tolerance-based (drop fixed_iters)")
-        if precondition not in ("jacobi", "rline", "adi"):
+        if precondition not in ("jacobi", "rline", "adi", "adaptive"):
             raise ValueError("solver='vmem' supports precondition='jacobi' "
                              "(scaled identity), 'rline' (in-kernel "
-                             "r-line PCR) or 'adi' (r-line + z-line)")
+                             "r-line PCR), 'adi' (r-line + z-line) or "
+                             "'adaptive' (per-lane per-step rline/adi "
+                             "switch)")
         if jax.default_backend() == "tpu":
             from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
-            if not fits_in_vmem_batched(nz, nr, dtype,
-                                        rline=precondition == "rline",
-                                        adi=precondition == "adi"):
+            if not fits_in_vmem_batched(
+                    nz, nr, dtype, rline=precondition == "rline",
+                    adi=precondition in ("adi", "adaptive")):
                 raise ValueError(
                     f"sweep working set for a {nz}x{nr} grid exceeds the "
                     "VMEM budget; use solver='xla'")
@@ -611,10 +652,11 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
         if fixed_iters is not None:
             raise ValueError("f64_refine composes with the tolerance-based "
                              "solve (drop fixed_iters)")
-    if precondition not in ("jacobi", "rline", "adi"):
+    if precondition not in ("jacobi", "rline", "adi", "adaptive"):
         raise ValueError("solver='vmem' supports precondition='jacobi', "
-                         "'rline' or 'adi'")
-    if precondition in ("rline", "adi") and fixed_iters is not None:
+                         "'rline', 'adi' or 'adaptive'")
+    if precondition in ("rline", "adi", "adaptive") \
+            and fixed_iters is not None:
         raise ValueError(f"{precondition}-preconditioned vmem sweeps are "
                          "tolerance-based (drop fixed_iters)")
     if mesh is not None and ("z" in mesh.axis_names
@@ -626,9 +668,9 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError("the VMEM kernel is f32-only on TPU")
         from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
-        if not fits_in_vmem_batched(nz, nr, dtype,
-                                    rline=precondition == "rline",
-                                    adi=precondition == "adi"):
+        if not fits_in_vmem_batched(
+                nz, nr, dtype, rline=precondition == "rline",
+                adi=precondition in ("adi", "adaptive")):
             raise ValueError(
                 f"sweep working set for a {nz}x{nr} grid exceeds the "
                 "VMEM budget; use solver='xla'")
@@ -666,6 +708,7 @@ def _recording_vmem(problem: Problem2D, *, vary_material, dtype, rtol,
             fixed_iters=fixed_iters, rtol=rtol, maxiter=maxiter,
             extrapolate=extrapolate, rline=precondition == "rline",
             adi=precondition == "adi",
+            adaptive=precondition == "adaptive",
             rtol_wrt=rtol_wrt, f64_refine=f64_refine, record=rec,
             proj_rtol=proj_rtol, proj_maxiter=proj_maxiter)[0]
 

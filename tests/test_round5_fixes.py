@@ -77,3 +77,95 @@ def test_resolve_precondition_rtol_wrt():
     # keep their own resolution
     assert resolve_recording_precondition(
         False, f32, f64_refine=1, vmem_single=True) == "adaptive"
+
+
+def test_batched_adaptive_matches_static_lanes():
+    """The per-config adaptive rline/adi switch (round-5, VERDICT r4 item
+    8) is bitwise the static kernel per lane: flagged lanes equal the adi
+    kernel's trajectory, unflagged lanes the rline kernel's."""
+    import jax
+    from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+    from heatflow_tpu.mesh.structured import build_structured_mesh
+    from heatflow_tpu.ops.pallas_cg import cg_vmem_batched_tol
+    from heatflow_tpu.ops.stencil import combine_operator
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                           temp=df["temp"].to_numpy(),
+                           oside=df["oside"].to_numpy())
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    problem = build_problem(mesh, heating, cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    dev = problem.device_arrays(jnp.float32)
+    dt = jnp.asarray(problem.dt, jnp.float32)
+    A0, _M = combine_operator(dev["K"], dev["M"], dev["kappas"],
+                              dev["rho_cvs"], dt)
+    Kv = dev["K"][list(problem.mesh.material_tags).index("p_sample")]
+    free, dirich = dev["free"], dev["dirichlet"]
+    B = 4
+    rng = np.random.default_rng(0)
+    dks = jnp.asarray(np.linspace(0, 2e-7, B), jnp.float32)
+    diag = A0[0][None] + dks[:, None, None] * Kv[0][None]
+    s = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0)) * free + dirich
+    sm = s * free
+    nz, nr = problem.mesh.shape
+    b = jnp.asarray(rng.standard_normal((B, nz, nr)).astype(np.float32)) \
+        * sm
+    x0 = jnp.zeros_like(b)
+    flags = jnp.asarray([1, 0, 1, 0], jnp.int32)
+    kw = dict(maxiter=2000, interpret=True)
+    xa, ita = cg_vmem_batched_tol(A0, Kv, dks, sm, b, x0, 1e-6,
+                                  adi_flags=flags, **kw)
+    xr, itr = cg_vmem_batched_tol(A0, Kv, dks, sm, b, x0, 1e-6,
+                                  rline=True, **kw)
+    xd, itd = cg_vmem_batched_tol(A0, Kv, dks, sm, b, x0, 1e-6,
+                                  adi=True, **kw)
+    xa, xr, xd = map(np.asarray, (xa, xr, xd))
+    for i in range(B):
+        ref = xd[i] if int(flags[i]) else xr[i]
+        its_ref = (itd if int(flags[i]) else itr)[i]
+        np.testing.assert_array_equal(xa[i], ref)
+        assert int((ita if True else 0)[i]) == int(its_ref)
+    with pytest.raises(ValueError, match="adi_flags"):
+        cg_vmem_batched_tol(A0, Kv, dks, sm, b, x0, 1e-6,
+                            adi_flags=flags, rline=True, **kw)
+
+
+def test_sweep_scan_adaptive_runs():
+    """make_sweep_fn(precondition='adaptive'): finite traces, tolerance-
+    equal to the static rline engine."""
+    from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+    from heatflow_tpu.mesh.structured import build_structured_mesh
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+    from heatflow_tpu.sim.sweepkernel import make_sweep_fn
+
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["timing"]["num_steps"] = 4
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                           temp=df["temp"].to_numpy(),
+                           oside=df["oside"].to_numpy())
+    domain, mats = build_layout(cfg)
+    mesh = build_structured_mesh(domain, mats)
+    problem = build_problem(mesh, heating, cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    ks = np.array([2.0, 3.8, 7.5])
+    fs = np.full(3, 6e-6)
+    fn_a = make_sweep_fn(problem, dtype=jnp.float32, solver="vmem",
+                         precondition="adaptive", rtol=1e-5,
+                         rtol_wrt="r0")
+    fn_r = make_sweep_fn(problem, dtype=jnp.float32, solver="vmem",
+                         precondition="rline", rtol=1e-5, rtol_wrt="r0")
+    ta = np.asarray(fn_a(ks, fs))
+    tr = np.asarray(fn_r(ks, fs))
+    assert np.isfinite(ta).all()
+    scale = np.abs(tr).max()
+    assert np.abs(ta - tr).max() / scale < 1e-3   # tolerance-class equal
+    with pytest.raises(ValueError, match="tolerance-based"):
+        make_sweep_fn(problem, dtype=jnp.float32, solver="vmem",
+                      precondition="adaptive", fixed_iters=5)
