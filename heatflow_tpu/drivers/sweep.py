@@ -389,66 +389,80 @@ def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
             chunk = min(chunk, max(n_conf, (32 // n_conf) * n_conf))
         from heatflow_tpu.utils import pad_to_multiple
         t_group = time.time()
-        traces, bands, axes_rows = [], [], []
+        # Pipeline: dispatch EVERY chunk before fetching any — jax device
+        # calls are async, so while the host blocks on (then formats and
+        # writes the artifacts of) chunk i, the device is already
+        # integrating chunks i+1… . At B=128 this overlaps the ~2.3 s of
+        # single-core pandas/yaml artifact writing with device compute
+        # (round-5 driver-throughput work; the outputs of all pending
+        # chunks are a few MB of device memory).
+        pending = []
         for s in range(0, B, chunk):
             ks_c, fs_c = ks[s:s + chunk], fs[s:s + chunk]
             n_c = len(ks_c)
             ks_c = pad_to_multiple(ks_c, n_conf)
             fs_c = pad_to_multiple(fs_c, n_conf)
-            out = sweep_fn(ks_c, fs_c)
-            if record_gradient:
-                traces.append(np.asarray(out["watch"])[:n_c])
-                bands.append(np.asarray(out["band"])[:n_c])
-                axes_rows.append(np.asarray(out["axis"])[:n_c])
-            else:
-                traces.append(np.asarray(out)[:n_c])
-        traces = np.concatenate(traces, axis=0)      # (B, S, W)
-        if record_gradient:
-            bands = np.concatenate(bands, axis=0)
-            axes_rows = np.concatenate(axes_rows, axis=0)
-        group_runtime = time.time() - t_group
+            pending.append((s, n_c, sweep_fn(ks_c, fs_c)))
 
         times = sweep_fn.times
-        ok = np.all(np.isfinite(traces), axis=(1, 2))
-        err_detail = np.where(ok, "", "non-finite trace").astype(object)
-        if record_gradient:
-            # a config whose gradient projection went non-finite must not
-            # be recorded as success with NaN-filled radial CSVs
-            ok_grad = (np.all(np.isfinite(bands), axis=(1, 2))
-                       & np.all(np.isfinite(axes_rows), axis=(1, 2)))
-            err_detail[ok & ~ok_grad] = "non-finite gradient projection"
-            ok = ok & ok_grad
-        for i, combo in enumerate(group):
-            name = run_name(combo["fwhm"], combo["k"], width)
-            run_dir = os.path.join(output_dir, name)
-            rec = {"run_id": combo["run_id"], "run_name": name,
-                   "fwhm": combo["fwhm"], "k": combo["k"], "width": width,
-                   "output_dir": run_dir,
-                   "runtime": group_runtime / B,
-                   "status": "success" if ok[i] else "failed",
-                   "error": None if ok[i] else str(err_detail[i])}
-            if ok[i]:
-                if save_run_dirs:
-                    os.makedirs(run_dir, exist_ok=True)
-                    write_watcher_csv(
-                        os.path.join(run_dir, "watcher_points.csv"), times,
-                        {n: traces[i, :, j] for j, n in
-                         enumerate(problem.watcher_names)})
-                    if record_gradient:
-                        write_gradient_csv(
-                            os.path.join(run_dir, "radial_gradient.csv"),
-                            times, sweep_fn.band_centers, bands[i])
-                        write_gradient_csv(
-                            os.path.join(run_dir,
-                                         "radial_gradient_raw.csv"),
-                            times, sweep_fn.axis_z, axes_rows[i])
-                    save_config(
-                        with_parameters(base_config, fwhm=combo["fwhm"],
-                                        sample_k=combo["k"], sample_z=width),
-                        os.path.join(run_dir, "used_config.yaml"))
-                results.append(rec)
+        group_results, group_failed = [], []
+        for s, n_c, out in pending:
+            if record_gradient:
+                traces = np.asarray(out["watch"])[:n_c]
+                bands = np.asarray(out["band"])[:n_c]
+                axes_rows = np.asarray(out["axis"])[:n_c]
             else:
-                failed.append(rec)
+                traces = np.asarray(out)[:n_c]
+            ok = np.all(np.isfinite(traces), axis=(1, 2))
+            err_detail = np.where(ok, "",
+                                  "non-finite trace").astype(object)
+            if record_gradient:
+                # a config whose gradient projection went non-finite must
+                # not be recorded as success with NaN-filled radial CSVs
+                ok_grad = (np.all(np.isfinite(bands), axis=(1, 2))
+                           & np.all(np.isfinite(axes_rows), axis=(1, 2)))
+                err_detail[ok & ~ok_grad] = "non-finite gradient projection"
+                ok = ok & ok_grad
+            for i, combo in enumerate(group[s:s + n_c]):
+                name = run_name(combo["fwhm"], combo["k"], width)
+                run_dir = os.path.join(output_dir, name)
+                rec = {"run_id": combo["run_id"], "run_name": name,
+                       "fwhm": combo["fwhm"], "k": combo["k"],
+                       "width": width, "output_dir": run_dir,
+                       "runtime": None,    # filled with group mean below
+                       "status": "success" if ok[i] else "failed",
+                       "error": None if ok[i] else str(err_detail[i])}
+                if ok[i]:
+                    if save_run_dirs:
+                        os.makedirs(run_dir, exist_ok=True)
+                        write_watcher_csv(
+                            os.path.join(run_dir, "watcher_points.csv"),
+                            times,
+                            {n: traces[i, :, j] for j, n in
+                             enumerate(problem.watcher_names)})
+                        if record_gradient:
+                            write_gradient_csv(
+                                os.path.join(run_dir,
+                                             "radial_gradient.csv"),
+                                times, sweep_fn.band_centers, bands[i])
+                            write_gradient_csv(
+                                os.path.join(run_dir,
+                                             "radial_gradient_raw.csv"),
+                                times, sweep_fn.axis_z, axes_rows[i])
+                        save_config(
+                            with_parameters(base_config,
+                                            fwhm=combo["fwhm"],
+                                            sample_k=combo["k"],
+                                            sample_z=width),
+                            os.path.join(run_dir, "used_config.yaml"))
+                    group_results.append(rec)
+                else:
+                    group_failed.append(rec)
+        group_runtime = time.time() - t_group
+        for rec in group_results + group_failed:
+            rec["runtime"] = group_runtime / B
+        results.extend(group_results)
+        failed.extend(group_failed)
         if not suppress_print:
             print(f"width {width:.2e}: {B} runs in {group_runtime:.2f}s "
                   f"({B / group_runtime:.1f} configs/s)")
