@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-4)
     ap.add_argument("--f64-refine", type=int, default=1)
     ap.add_argument("--thresholds", default="120")
+    ap.add_argument("--with-mgz", action="store_true",
+                    help="add the round-5 in-kernel z-semicoarsened "
+                         "MG-rline variant (precondition='mgz')")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +54,12 @@ def main():
         variants.append((f"adaptive{th}",
                          dict(precondition="adaptive",
                               adaptive_thresh=th)))
+    if args.with_mgz:
+        # sweeps=1 only: the s2 variant's kernel (embedded coarse stencil
+        # + larger live set) exceeds the 128M physical VMEM at flagship
+        # scale (142.6M measured — round-5 mgz notes in BENCHMARKS.md)
+        variants.append(("mgz_s1", dict(precondition="mgz",
+                                        mgz_sweeps=1)))
 
     fns = {}
     for name, kw in variants:

@@ -226,6 +226,13 @@ def adi_extra_planes(nz: int, nr: int) -> int:
     return rline_extra_planes(nr) + rline_extra_planes(nz)
 
 
+def mgz_extra_planes(nz: int, nr: int) -> int:
+    """VMEM planes held by the z-semicoarsened MG preconditioner: the
+    fine r-line PCR stack (smoother), the embedded coarse PCR stack, the
+    9-point embedded coarse stencil, and the 4 aux planes (ops/mgz.py)."""
+    return 2 * rline_extra_planes(nr) + 9 + 4
+
+
 def _merged_cg_loop(apply_op, precond, b, x, stop2, rr0, *, maxiter: int,
                     check_every: int, preconditioned: bool):
     """Chronopoulos–Gear (merged-dot) PCG loop body, shared by the
@@ -293,7 +300,9 @@ def _merged_cg_loop(apply_op, precond, b, x, stop2, rr0, *, maxiter: int,
 def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
                    *rest, maxiter: int, rtol_wrt: str,
                    cheb_degree: int, pcr_levels: int,
-                   pcr_z_levels: int = 0, merged: bool = False):
+                   pcr_z_levels: int = 0, merged: bool = False,
+                   mgz_levels: int = 0, mgz_sweeps: int = 2,
+                   mgz_omega: float = 0.8, mgz_omega_c: float = 0.8):
     """Whole tolerance-based CG solve in one kernel (while_loop on-chip).
 
     The operator is applied with ON-THE-FLY symmetric scaling,
@@ -316,6 +325,13 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
     rest = list(rest)
     pcr_ref = rest.pop(0) if pcr_levels > 0 else None
     pcrz_ref = rest.pop(0) if pcr_z_levels > 0 else None
+    if mgz_levels > 0:
+        # sweeps=1 needs no coarse operator at all (single damped line
+        # solve from zero — no coarse residual), so the 9-plane embedded
+        # stencil operand is dropped entirely
+        mgz_ac9_ref = rest.pop(0) if mgz_sweeps > 1 else None
+        mgz_pcrc_ref = rest.pop(0)
+        mgz_aux_ref = rest.pop(0)
     x_ref, it_ref = rest
     sm = sm_ref[:]
     b = b_ref[:]
@@ -325,7 +341,59 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
         return sm * _apply7(A_ref, sm * y)
 
     dtype = b.dtype
-    if pcr_z_levels > 0:
+    if mgz_levels > 0:
+        # z-semicoarsened 2-level MG over the rline smoother (V(1,1),
+        # embedded coarse grid on even sublanes — ops/mgz.py docstring;
+        # symmetric by construction: restriction = prolongation^T, damped
+        # line-Jacobi pre/post smoothing, fixed-polynomial coarse solve)
+        free = (sm != 0).astype(dtype)
+        nz_, nr_ = b.shape
+        from heatflow_tpu.ops.mgz import MGZ_OFFSETS
+
+        def apply_c(y):
+            up = jnp.pad(y, ((2, 2), (1, 1)))
+
+            def sh2(dz, dr):
+                return jax.lax.slice(up, (2 + dz, 1 + dr),
+                                     (2 + dz + nz_, 1 + dr + nr_))
+
+            out = mgz_ac9_ref[0] * y
+            for k, (oz, orr) in enumerate(MGZ_OFFSETS[1:], start=1):
+                out += mgz_ac9_ref[k] * sh2(oz, orr)
+            return out
+
+        def precond(rr):
+            sc = mgz_aux_ref[0]
+            pm = mgz_aux_ref[1]
+            pp = mgz_aux_ref[2]
+            e_free = mgz_aux_ref[3]
+            # pre-smooth from zero: one damped fine r-line solve
+            xv = mgz_omega * _pcr_precond(pcr_ref, rr, pcr_levels)
+            r1 = rr - apply_op(xv)
+            # restriction P^T (embedded; odd-row junk rows are inert)
+            rc = (e_free * r1 + _shift_sublane(pp * r1, -1)
+                  + _shift_sublane(pm * r1, 1))
+            rcs = sc * rc
+            # coarse: mgz_sweeps damped line-Jacobi sweeps on the scaled
+            # embedded coarse operator (first sweep from zero; the sweep
+            # loop is a fori_loop to keep Mosaic's register pressure —
+            # and thus VMEM spill slots — down)
+            yc = mgz_omega_c * _pcr_precond(mgz_pcrc_ref, rcs, mgz_levels)
+            if mgz_sweeps > 1:
+                yc = jax.lax.fori_loop(
+                    0, mgz_sweeps - 1,
+                    lambda _k, y: y + mgz_omega_c * _pcr_precond(
+                        mgz_pcrc_ref, rcs - apply_c(y), mgz_levels),
+                    yc)
+            xc = sc * yc
+            # prolongation
+            xv = (xv + e_free * xc + pm * _shift_sublane(xc, -1)
+                  + pp * _shift_sublane(xc, 1))
+            # post-smooth
+            xv = xv + mgz_omega * _pcr_precond(pcr_ref, rr - apply_op(xv),
+                                               pcr_levels)
+            return xv * free
+    elif pcr_z_levels > 0:
         # split-additive ADI: R r + Z r − r (linesolve.adi_preconditioner)
         free = (sm != 0).astype(dtype)
 
@@ -360,7 +428,8 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
     else:
         precond = lambda rr: rr
 
-    preconditioned_any = cheb_degree > 0 or pcr_levels > 0
+    preconditioned_any = cheb_degree > 0 or pcr_levels > 0 \
+        or mgz_levels > 0
     if merged:
         r0v = b - apply_op(x)
         rr0 = jnp.sum(r0v * r0v)
@@ -399,8 +468,7 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = z + beta * p
-        preconditioned = cheb_degree > 0 or pcr_levels > 0
-        rr = jnp.sum(r * r) if preconditioned else rz_new
+        rr = jnp.sum(r * r) if preconditioned_any else rz_new
         return (x, r, p, rz_new, rr)
 
     def body(state):
@@ -440,7 +508,9 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
                 x0: jnp.ndarray, rtol: float | jnp.ndarray, *,
                 maxiter: int = 4000, rtol_wrt: str = "r0",
                 interpret: bool = False, cheb_degree: int = 0,
-                pcr=None, pcr_z=None, merged: bool | None = None):
+                pcr=None, pcr_z=None, merged: bool | None = None,
+                mgz=None, mgz_sweeps: int = 2, mgz_omega: float = 0.8,
+                mgz_omega_c: float = 0.8):
     """Tolerance-based VMEM-resident CG on the scaled-masked operator
     sm·A·sm. Returns (x, iters). b and x0 must vanish at constrained dofs;
     sm = rsqrt(diag(A)) * free. ``interpret=True`` runs the Pallas
@@ -464,22 +534,32 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
     return _cg_vmem_tol_jit(A, sm, b, x0, rtol, maxiter=maxiter,
                             rtol_wrt=rtol_wrt, interpret=interpret,
                             cheb_degree=cheb_degree, pcr=pcr, pcr_z=pcr_z,
-                            merged=merged)
+                            merged=merged, mgz=mgz, mgz_sweeps=mgz_sweeps,
+                            mgz_omega=mgz_omega, mgz_omega_c=mgz_omega_c)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("maxiter", "rtol_wrt", "interpret",
-                                    "cheb_degree", "merged"))
+                                    "cheb_degree", "merged", "mgz_sweeps",
+                                    "mgz_omega", "mgz_omega_c"))
 def _cg_vmem_tol_jit(A, sm, b, x0, rtol, *, maxiter, rtol_wrt, interpret,
-                     cheb_degree, pcr=None, pcr_z=None, merged=False):
+                     cheb_degree, pcr=None, pcr_z=None, merged=False,
+                     mgz=None, mgz_sweeps=2, mgz_omega=0.8,
+                     mgz_omega_c=0.8):
     nz, nr = b.shape
     rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)
     pcr_levels = 0 if pcr is None else (int(pcr.shape[0]) - 1) // 2
     pcr_z_levels = 0 if pcr_z is None else (int(pcr_z.shape[0]) - 1) // 2
+    mgz_levels = 0 if mgz is None else (int(mgz["pcrc"].shape[0]) - 1) // 2
     if pcr_levels and cheb_degree:
         raise ValueError("pcr and cheb_degree are mutually exclusive")
     if pcr_z_levels and not pcr_levels:
         raise ValueError("pcr_z (ADI) requires the r-line pcr stack too")
+    if mgz_levels and not pcr_levels:
+        raise ValueError("mgz (z-semicoarsened MG) uses the r-line pcr "
+                         "stack as its smoother — pass pcr too")
+    if mgz_levels and (pcr_z_levels or merged):
+        raise ValueError("mgz is mutually exclusive with pcr_z/merged")
     if cheb_degree > 0:
         # Gershgorin bound of the scaled operator (sm >= 0, so absolute
         # row sums are one |A|-apply): λmax ≈ max_i Σ_j |Â_ij|
@@ -497,11 +577,17 @@ def _cg_vmem_tol_jit(A, sm, b, x0, rtol, *, maxiter, rtol_wrt, interpret,
     if pcr_z_levels:
         operands.append(pcr_z)
         in_specs.append(vm)
+    if mgz_levels:
+        operands += ([mgz["Ac9"]] if mgz_sweeps > 1 else []) \
+            + [mgz["pcrc"], mgz["aux"]]
+        in_specs += [vm] * (3 if mgz_sweeps > 1 else 2)
     x, it = pl.pallas_call(
         functools.partial(_cg_tol_kernel, maxiter=maxiter,
                           rtol_wrt=rtol_wrt, cheb_degree=cheb_degree,
                           pcr_levels=pcr_levels,
-                          pcr_z_levels=pcr_z_levels, merged=merged),
+                          pcr_z_levels=pcr_z_levels, merged=merged,
+                          mgz_levels=mgz_levels, mgz_sweeps=mgz_sweeps,
+                          mgz_omega=mgz_omega, mgz_omega_c=mgz_omega_c),
         out_shape=(jax.ShapeDtypeStruct((nz, nr), b.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         in_specs=in_specs,
@@ -513,6 +599,8 @@ def _cg_vmem_tol_jit(A, sm, b, x0, rtol, *, maxiter, rtol_wrt, interpret,
             bytes_accessed=(8 + 3
                             + (2 * pcr_levels + 1 if pcr_levels else 0)
                             + (2 * pcr_z_levels + 1 if pcr_z_levels
+                               else 0)
+                            + (2 * mgz_levels + 14 if mgz_levels
                                else 0)) * nz * nr * 4,
             transcendentals=0),
         interpret=interpret,

@@ -63,6 +63,7 @@ def make_simulate_fn(problem: Problem2D,
                      rtol_wrt: str = "r0",
                      solver: str = "xla",
                      vmem_cheb_degree: int = 0,
+                     mgz_sweeps: int = 2,
                      warm_start: str = "previous",
                      mesh=None,
                      f64_refine: int = 0,
@@ -144,14 +145,15 @@ def make_simulate_fn(problem: Problem2D,
                  fixed_iters, proj_rtol, proj_maxiter, record_gradient,
                  record_fields, precondition, rtol_wrt, solver,
                  vmem_cheb_degree, warm_start, mesh, f64_refine, inner_seed,
-                 adaptive_thresh if precondition == "adaptive" else None)
+                 adaptive_thresh if precondition == "adaptive" else None,
+                 mgz_sweeps if precondition == "mgz" else None)
     cache = problem.extras.setdefault("_fn_cache", {})
     if cache_key in cache:
         return cache[cache_key]
     if warm_start not in ("previous", "extrapolate", "extrapolate2"):
         raise ValueError(f"unknown warm_start {warm_start!r}")
     if precondition not in ("jacobi", "mg", "rline", "zline", "adi",
-                            "adaptive"):
+                            "adaptive", "mgz"):
         raise ValueError(f"unknown precondition {precondition!r}")
     if f64_refine:
         if jnp.dtype(dtype) != jnp.float32:
@@ -183,9 +185,12 @@ def make_simulate_fn(problem: Problem2D,
         from heatflow_tpu.ops.pallas_cg import (adi_extra_planes,
                                                 fits_in_vmem,
                                                 rline_extra_planes)
+        from heatflow_tpu.ops.pallas_cg import mgz_extra_planes
         extra = (rline_extra_planes(nr) if precondition == "rline"
                  else adi_extra_planes(nz, nr)
                  if precondition in ("adi", "adaptive")
+                 else mgz_extra_planes(nz, nr)
+                 if precondition == "mgz"
                  else 0)
         use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
     if solver == "vmem" and not use_vmem:
@@ -218,6 +223,15 @@ def make_simulate_fn(problem: Problem2D,
         raise ValueError("precondition='adaptive' (per-step rline/adi "
                          "switch) requires the VMEM solver path (TPU f32 "
                          "within the VMEM budget, or interpret-mode tests)")
+    if precondition == "mgz":
+        if not use_vmem:
+            raise ValueError("precondition='mgz' (in-kernel z-semicoarsened "
+                             "MG over the rline smoother) requires the VMEM "
+                             "solver path (TPU f32 within the VMEM budget, "
+                             "or interpret-mode tests)")
+        if vmem_cheb_degree:
+            raise ValueError("vmem_cheb_degree does not compose with "
+                             "precondition='mgz'")
     if mesh is not None:
         if solver == "vmem":
             raise ValueError("z-sharding a single problem runs the XLA "
@@ -240,6 +254,25 @@ def make_simulate_fn(problem: Problem2D,
         # pytree (they must not become tracers)
         mg_shapes = [lv.pop("shape") for lv in full]
         mg_host = full
+    elif precondition == "mgz":
+        # z-semicoarsened MG operands, built ONCE at maker time with scipy
+        # RAP from the problem's DEFAULT coefficients (the same maker-time
+        # convention as ops/multigrid.build_hierarchy) and threaded through
+        # the mg_host jit-argument slot. simulate() therefore rejects
+        # runtime kappa/rho_cv overrides under 'mgz' — the baked coarse
+        # operator would silently mismatch the solved system's.
+        from heatflow_tpu.ops.mgz import mgz_pack
+        st = problem.stencils
+        A7_np = (np.einsum("m,mkij->kij", problem.rho_cvs, st.M)
+                 + float(problem.dt)
+                 * np.einsum("m,mkij->kij", problem.kappas, st.K))
+        free_np = np.asarray(problem.free_mask, np.float64)
+        diag_np = A7_np[0]
+        s_np = np.where(free_np > 0,
+                        1.0 / np.sqrt(np.where(diag_np > 0, diag_np, 1.0)),
+                        1.0)
+        mg_host = {k: jnp.asarray(v) for k, v in
+                   mgz_pack(A7_np, s_np, free_np, dtype).items()}
 
     field_sh = None
     if mesh is not None:
@@ -315,6 +348,12 @@ def make_simulate_fn(problem: Problem2D,
             from heatflow_tpu.ops.pallas_cg import pcr_pack
             pcr_stack = pcr_pack(A, s, free)
             pcr_z_stack = pcr_pack(A, s, free, axis=-2)
+        if precondition == "mgz" and not f64_refine:
+            # fine r-line stack = the V-cycle's smoother; the coarse/
+            # transfer operands arrive pre-built via mg_levels (maker-time
+            # scipy RAP from the problem's default coefficients)
+            from heatflow_tpu.ops.pallas_cg import pcr_pack
+            pcr_stack = pcr_pack(A, s, free)
         if precondition in ("rline", "zline", "adi") and not f64_refine:
             # line block-Jacobi on the scaled system via precomputed PCR
             # (the operator is constant over the transient, so the
@@ -334,7 +373,7 @@ def make_simulate_fn(problem: Problem2D,
                 from heatflow_tpu.ops.linesolve import line_preconditioner
                 pre = line_preconditioner(
                     A, s, free, axis=-1 if precondition == "rline" else -2)
-        if mg_levels is not None:
+        if precondition == "mg" and mg_levels is not None:
             from heatflow_tpu.ops.multigrid import make_vcycle
             level_ops = []
             for lv, shp in zip(mg_levels, mg_shapes):
@@ -379,7 +418,8 @@ def make_simulate_fn(problem: Problem2D,
             pre32 = None
             pcr_stack32 = None
             pcr_z_stack32 = None
-            if use_vmem and precondition in ("rline", "adi", "adaptive"):
+            if use_vmem and precondition in ("rline", "adi", "adaptive",
+                                             "mgz"):
                 from heatflow_tpu.ops.pallas_cg import pcr_pack
                 pcr_stack32 = pcr_pack(A32, s32, free32)
                 if precondition in ("adi", "adaptive"):
@@ -457,7 +497,11 @@ def make_simulate_fn(problem: Problem2D,
                     dy, its = cg_vmem_tol(A32, sm32, r32, seed, rtol_eff,
                                           maxiter=maxiter, rtol_wrt="b",
                                           pcr=pcr_stack32,
-                                          pcr_z=pcr_z_stack32)
+                                          pcr_z=pcr_z_stack32,
+                                          mgz=(mg_levels
+                                               if precondition == "mgz"
+                                               else None),
+                                          mgz_sweeps=mgz_sweeps)
                 else:
                     dsol = pcg(apply_A32_s, r32, seed, precond=pre32,
                                mask=free32, rtol=rtol_eff, maxiter=maxiter,
@@ -525,7 +569,11 @@ def make_simulate_fn(problem: Problem2D,
                                            rtol_wrt=rtol_wrt,
                                            cheb_degree=vmem_cheb_degree,
                                            pcr=pcr_stack,
-                                           pcr_z=pcr_z_stack)
+                                           pcr_z=pcr_z_stack,
+                                           mgz=(mg_levels
+                                                if precondition == "mgz"
+                                                else None),
+                                           mgz_sweeps=mgz_sweeps)
                 sol = CGResult(x=x, iters=iters,
                                residual=jnp.zeros((), dtype),
                                converged=jnp.asarray(True))
@@ -601,6 +649,13 @@ def make_simulate_fn(problem: Problem2D,
 
     def simulate(kappas=None, rho_cvs=None, fwhm=None, u0=None, t0=0.0,
                  source=None):
+        if precondition == "mgz" and (kappas is not None
+                                      or rho_cvs is not None):
+            raise ValueError(
+                "precondition='mgz' bakes the coarse operator from the "
+                "problem's default coefficients at maker time; per-call "
+                "kappa/rho_cv overrides would silently mismatch it — use "
+                "'rline'/'adi'/'adaptive' for coefficient sweeps")
         kp = dev["kappas"] if kappas is None else jnp.asarray(kappas, cdt)
         rc = dev["rho_cvs"] if rho_cvs is None else jnp.asarray(rho_cvs,
                                                                cdt)

@@ -169,3 +169,119 @@ def test_sweep_scan_adaptive_runs():
     with pytest.raises(ValueError, match="tolerance-based"):
         make_sweep_fn(problem, dtype=jnp.float32, solver="vmem",
                       precondition="adaptive", fixed_iters=5)
+
+
+class TestMgz:
+    """Round-5 in-kernel z-semicoarsened MG-rline preconditioner
+    (VERDICT r4 item 5): operand pack, symmetry, iteration cut, kernel
+    and stepper integration (interpret mode)."""
+
+    @pytest.fixture(scope="class")
+    def prob(self):
+        import jax
+        from heatflow_tpu.geometry import (build_layout,
+                                           coupler_watcher_points)
+        from heatflow_tpu.mesh.structured import build_structured_mesh
+        from heatflow_tpu.sim.bc import HeatingCurve
+        from heatflow_tpu.sim.problem import build_problem
+        from heatflow_tpu.ops.stencil import combine_operator
+
+        cfg = tiny_no_diamond_cfg(coarse=1.5)
+        df = synthetic_heating()
+        heating = HeatingCurve(time=df["time"].to_numpy(),
+                               temp=df["temp"].to_numpy(),
+                               oside=df["oside"].to_numpy())
+        domain, mats = build_layout(cfg)
+        mesh = build_structured_mesh(domain, mats)
+        problem = build_problem(mesh, heating, cfg,
+                                watcher_points=coupler_watcher_points(cfg))
+        dev = problem.device_arrays(jnp.float32)
+        dt = jnp.asarray(problem.dt, jnp.float32)
+        A7, M_op = combine_operator(dev["K"], dev["M"], dev["kappas"],
+                                    dev["rho_cvs"], dt)
+        free, dirich = dev["free"], dev["dirichlet"]
+        s = jax.lax.rsqrt(jnp.where(A7[0] > 0, A7[0], 1.0)) * free + dirich
+        return problem, A7, M_op, s, free
+
+    def test_vcycle_symmetric_and_cuts_iterations(self, prob):
+        from heatflow_tpu.ops.mgz import mgz_pack, mgz_reference_vcycle
+        problem, A7, M_op, s, free = prob
+        pack = mgz_pack(np.asarray(A7), np.asarray(s), np.asarray(free),
+                        np.float64)
+        prec = mgz_reference_vcycle(A7, s, free, pack, sweeps=2)
+        nz, nr = problem.mesh.shape
+        rng = np.random.default_rng(0)
+        u = rng.standard_normal((nz, nr)) * np.asarray(free)
+        v = rng.standard_normal((nz, nr)) * np.asarray(free)
+        lhs = (v * prec(u)).sum()
+        rhs = (u * prec(v)).sum()
+        assert abs(lhs - rhs) / abs(lhs) < 1e-10
+
+    def test_kernel_matches_and_converges_faster(self, prob):
+        from heatflow_tpu.ops.mgz import mgz_pack
+        from heatflow_tpu.ops.pallas_cg import cg_vmem_tol, pcr_pack
+        from heatflow_tpu.ops.stencil import apply_stencil
+        problem, A7, M_op, s, free = prob
+        nz, nr = problem.mesh.shape
+        sm = s * free
+        pack = mgz_pack(np.asarray(A7), np.asarray(s), np.asarray(free),
+                        np.float32)
+        mgz = {k: jnp.asarray(v) for k, v in pack.items()}
+        pcr = pcr_pack(A7, s, free)
+        b = sm * apply_stencil(
+            M_op, jnp.full((nz, nr), problem.ic_temp, jnp.float32))
+        x0 = jnp.zeros_like(b)
+        kw = dict(maxiter=2000, rtol_wrt="b", interpret=True)
+        x_rl, it_rl = cg_vmem_tol(A7, sm, b, x0, 1e-6, pcr=pcr, **kw)
+        for sweeps in (1, 2):
+            x_mg, it_mg = cg_vmem_tol(A7, sm, b, x0, 1e-6, pcr=pcr,
+                                      mgz=mgz, mgz_sweeps=sweeps, **kw)
+            assert int(it_mg) < int(it_rl) / 2, (int(it_mg), int(it_rl))
+            d = float(jnp.max(jnp.abs(x_mg - x_rl))
+                      / jnp.max(jnp.abs(x_rl)))
+            assert d < 1e-3
+
+    def test_stepper_mgz(self, prob):
+        import unittest.mock as mock
+        from heatflow_tpu.ops import pallas_cg as pcg_mod
+        from heatflow_tpu.sim.stepper import run_transient
+        problem = prob[0]
+        orig = pcg_mod.cg_vmem_tol
+
+        def interp_tol(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch("heatflow_tpu.ops.pallas_cg.cg_vmem_tol",
+                        interp_tol):
+            res_m = run_transient(problem, dtype=jnp.float32, rtol=1e-5,
+                                  solver="vmem", precondition="mgz",
+                                  record_gradient=False)
+            res_r = run_transient(problem, dtype=jnp.float32, rtol=1e-5,
+                                  solver="vmem", precondition="rline",
+                                  record_gradient=False)
+        wm = np.asarray(res_m.watcher)
+        wr = np.asarray(res_r.watcher)
+        assert np.isfinite(wm).all()
+        assert np.asarray(res_m.cg_iters).mean() \
+            < np.asarray(res_r.cg_iters).mean() / 2
+        assert np.abs(wm - wr).max() / np.abs(wr).max() < 1e-3
+
+    def test_mgz_rejects_coefficient_override(self, prob):
+        import unittest.mock as mock
+        from heatflow_tpu.ops import pallas_cg as pcg_mod
+        from heatflow_tpu.sim.stepper import make_simulate_fn
+        problem = prob[0]
+        orig = pcg_mod.cg_vmem_tol
+
+        def interp_tol(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch("heatflow_tpu.ops.pallas_cg.cg_vmem_tol",
+                        interp_tol):
+            fn = make_simulate_fn(problem, dtype=jnp.float32, rtol=1e-5,
+                                  record_gradient=False, solver="vmem",
+                                  precondition="mgz", maxiter=2001)
+            with pytest.raises(ValueError, match="default coefficients"):
+                fn(kappas=np.asarray(problem.kappas) * 1.1)
