@@ -442,7 +442,7 @@ def main(argv=None):
                         "Default: extrapolate at f32, previous at f64")
     p.add_argument("--precondition",
                    choices=["jacobi", "rline", "zline", "adi", "mg",
-                            "adaptive"],
+                            "adaptive", "mgz"],
                    default=None,
                    help="CG preconditioner: 'rline' = r-line "
                         "block-tridiagonal via precomputed PCR (~6-8x fewer "
