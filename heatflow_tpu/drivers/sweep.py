@@ -156,7 +156,7 @@ def _resolve_solver(solver, mesh_w, *, dtype, precondition, f64_refine,
     nzw, nrw = mesh_w.shape
     return ("vmem" if fits_in_vmem_batched(
         nzw, nrw, dtype, rline=precondition == "rline",
-        adi=precondition == "adi") else "xla")
+        adi=precondition in ("adi", "adaptive")) else "xla")
 
 
 def run_parameter_sweep(base_config_path, output_dir, fwhm_range, k_range,
