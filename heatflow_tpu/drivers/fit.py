@@ -122,11 +122,15 @@ def resolve_fit_solver(dtype, rtol, rtol_wrt, solver, precondition,
             if not isinstance(problem, ProblemUnstructured) \
                     and not isinstance(getattr(problem, "mesh", None),
                                        UnstructuredMesh):
-                from heatflow_tpu.ops.pallas_cg import (fits_in_vmem,
-                                                        rline_extra_planes)
+                # the BATCHED predicate, not the single-problem one: the
+                # fit routes both engines through make_sweep_fn, whose
+                # vmem maker enforces fits_in_vmem_batched and raises
+                # (rather than falling back) on overflow — gating on the
+                # looser single-problem budget would make 'auto' crash on
+                # problems it documents as falling back to XLA
+                from heatflow_tpu.ops.pallas_cg import fits_in_vmem_batched
                 nz, nr = problem.mesh.shape
-                if fits_in_vmem(nz, nr, dtype,
-                                extra_planes=rline_extra_planes(nr)):
+                if fits_in_vmem_batched(nz, nr, dtype, rline=True):
                     solver = "vmem"
     if precondition is None:
         precondition = "rline" if solver == "vmem" else "jacobi"

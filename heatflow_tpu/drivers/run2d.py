@@ -199,10 +199,15 @@ def run_simulation(cfg, mesh_folder, rebuild_mesh=False, visualize_mesh=False,
                 vmem_single = fits_in_vmem(
                     nzs, nrs, dtype,
                     extra_planes=adi_extra_planes(nzs, nrs))
+            # rtol_wrt forwarded explicitly (run2d always steps with
+            # increment-relative 'r0' stopping — see the make_simulate_fn
+            # call below) so the resolver's adi-only-under-r0 guard is
+            # wired to the actual stopping rule, not an assumed default
             precondition = resolve_recording_precondition(
                 record_gradient, dtype, unstructured_xla=unstructured_xla,
                 unstructured=isinstance(mesh, UnstructuredMesh),
-                f64_refine=f64_refine, vmem_single=vmem_single)
+                f64_refine=f64_refine, vmem_single=vmem_single,
+                rtol_wrt="r0")
         if isinstance(mesh, UnstructuredMesh):
             if z_shards > 1:
                 # z-sharding is wired for the structured stepper only

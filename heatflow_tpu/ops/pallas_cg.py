@@ -226,11 +226,19 @@ def adi_extra_planes(nz: int, nr: int) -> int:
     return rline_extra_planes(nr) + rline_extra_planes(nz)
 
 
-def mgz_extra_planes(nz: int, nr: int) -> int:
+def mgz_extra_planes(nz: int, nr: int, sweeps: int = 1) -> int:
     """VMEM planes held by the z-semicoarsened MG preconditioner: the
-    fine r-line PCR stack (smoother), the embedded coarse PCR stack, the
-    9-point embedded coarse stencil, and the 4 aux planes (ops/mgz.py)."""
-    return 2 * rline_extra_planes(nr) + 9 + 4
+    fine r-line PCR stack (smoother), the embedded coarse PCR stack and
+    the 4 aux planes (ops/mgz.py). ``sweeps > 1`` additionally loads the
+    9-point embedded coarse stencil AND was measured to carry ~26 planes
+    of register-allocator spill slots at flagship scale (142.59M of 128M
+    physical — BENCHMARKS.md round-5 mgz notes), so the multi-sweep
+    estimate includes that allowance and correctly rejects flagship-size
+    problems."""
+    extra = 2 * rline_extra_planes(nr) + 4
+    if sweeps > 1:
+        extra += 9 + 26
+    return extra
 
 
 def _merged_cg_loop(apply_op, precond, b, x, stop2, rr0, *, maxiter: int,
@@ -301,7 +309,7 @@ def _cg_tol_kernel(A_ref, sm_ref, b_ref, x0_ref, rtol_ref, lmax_ref,
                    *rest, maxiter: int, rtol_wrt: str,
                    cheb_degree: int, pcr_levels: int,
                    pcr_z_levels: int = 0, merged: bool = False,
-                   mgz_levels: int = 0, mgz_sweeps: int = 2,
+                   mgz_levels: int = 0, mgz_sweeps: int = 1,
                    mgz_omega: float = 0.8, mgz_omega_c: float = 0.8):
     """Whole tolerance-based CG solve in one kernel (while_loop on-chip).
 
@@ -509,7 +517,7 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
                 maxiter: int = 4000, rtol_wrt: str = "r0",
                 interpret: bool = False, cheb_degree: int = 0,
                 pcr=None, pcr_z=None, merged: bool | None = None,
-                mgz=None, mgz_sweeps: int = 2, mgz_omega: float = 0.8,
+                mgz=None, mgz_sweeps: int = 1, mgz_omega: float = 0.8,
                 mgz_omega_c: float = 0.8):
     """Tolerance-based VMEM-resident CG on the scaled-masked operator
     sm·A·sm. Returns (x, iters). b and x0 must vanish at constrained dofs;
@@ -544,7 +552,7 @@ def cg_vmem_tol(A: jnp.ndarray, sm: jnp.ndarray, b: jnp.ndarray,
                                     "mgz_omega", "mgz_omega_c"))
 def _cg_vmem_tol_jit(A, sm, b, x0, rtol, *, maxiter, rtol_wrt, interpret,
                      cheb_degree, pcr=None, pcr_z=None, merged=False,
-                     mgz=None, mgz_sweeps=2, mgz_omega=0.8,
+                     mgz=None, mgz_sweeps=1, mgz_omega=0.8,
                      mgz_omega_c=0.8):
     nz, nr = b.shape
     rtol_arr = jnp.asarray(rtol, b.dtype).reshape(1, 1)

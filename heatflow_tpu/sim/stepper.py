@@ -63,7 +63,7 @@ def make_simulate_fn(problem: Problem2D,
                      rtol_wrt: str = "r0",
                      solver: str = "xla",
                      vmem_cheb_degree: int = 0,
-                     mgz_sweeps: int = 2,
+                     mgz_sweeps: int = 1,
                      warm_start: str = "previous",
                      mesh=None,
                      f64_refine: int = 0,
@@ -189,7 +189,7 @@ def make_simulate_fn(problem: Problem2D,
         extra = (rline_extra_planes(nr) if precondition == "rline"
                  else adi_extra_planes(nz, nr)
                  if precondition in ("adi", "adaptive")
-                 else mgz_extra_planes(nz, nr)
+                 else mgz_extra_planes(nz, nr, mgz_sweeps)
                  if precondition == "mgz"
                  else 0)
         use_vmem = fits_in_vmem(nz, nr, dtype, extra_planes=extra)
@@ -200,6 +200,21 @@ def make_simulate_fn(problem: Problem2D,
     if solver == "auto" and (jax.default_backend() != "tpu"
                              or jnp.dtype(dtype) != jnp.float32):
         use_vmem = False  # the Pallas kernel is TPU-only, f32-only
+    if mesh is not None:
+        # z-sharding resolves 'auto' to the XLA path — BEFORE the
+        # vmem-only preconditioner validations below, so adaptive/mgz
+        # under z-sharding get their clean ValueError instead of slipping
+        # through with a stale use_vmem=True (round-5 review finding)
+        if solver == "vmem":
+            raise ValueError("z-sharding a single problem runs the XLA "
+                             "solver path (the VMEM kernel keeps whole "
+                             "problems on one chip); use solver='xla'")
+        use_vmem = False  # 'auto' under z-sharding resolves to XLA
+        if "z" not in mesh.axis_names:
+            raise ValueError("make_simulate_fn(mesh=...) needs a 'z' axis")
+        if nz % mesh.shape["z"] != 0:
+            raise ValueError(f"Nz={nz} not divisible by the 'z' axis size "
+                             f"{mesh.shape['z']}")
     if use_vmem and precondition in ("zline", "mg"):
         # only 'rline' has an in-kernel PCR; the VMEM solve would silently
         # drop a zline/mg preconditioner — route them to the XLA path
@@ -232,17 +247,6 @@ def make_simulate_fn(problem: Problem2D,
         if vmem_cheb_degree:
             raise ValueError("vmem_cheb_degree does not compose with "
                              "precondition='mgz'")
-    if mesh is not None:
-        if solver == "vmem":
-            raise ValueError("z-sharding a single problem runs the XLA "
-                             "solver path (the VMEM kernel keeps whole "
-                             "problems on one chip); use solver='xla'")
-        use_vmem = False  # 'auto' under z-sharding resolves to XLA
-        if "z" not in mesh.axis_names:
-            raise ValueError("make_simulate_fn(mesh=...) needs a 'z' axis")
-        if nz % mesh.shape["z"] != 0:
-            raise ValueError(f"Nz={nz} not divisible by the 'z' axis size "
-                             f"{mesh.shape['z']}")
     mg_host = None
     mg_shapes = None
     if precondition == "mg":

@@ -58,7 +58,9 @@ def vmem_sweep_scan(ops, ks, fs, u0, u_pp, step0, *, dtype, ic, dt,
     stacks factored in-kernel for that lane only), shallow lanes the
     plain r-line solve. The per-lane iteration counts thread through the
     scan carry, initialized to ``maxiter`` (every lane's first step runs
-    ADI — the cold start IS the deep solve). Mutually exclusive with
+    ADI — the cold start IS the deep solve; under time-chunked execution
+    this re-initialization happens at every chunk start — see
+    run_sweep_time_chunked's docstring). Mutually exclusive with
     ``rline``/``adi``.
 
     ``record``: artifact-parity recording at VMEM speed — a dict with the
@@ -411,7 +413,12 @@ def make_sweep_fn(problem: Problem2D, *, vary_material: str = "p_sample",
             from heatflow_tpu.ops.pallas_cg import pcr_pack
             A_full = ops["A0"] + dk * ops["K_var"]
             sm_v = s * free
-            if precondition in ("rline", "adi"):
+            if precondition in ("rline", "adi", "adaptive"):
+                # 'adaptive' has no per-solve switch in the single-config
+                # implicit-diff path (one cg_vmem_solve per call); it runs
+                # the static rline stack — the measured single-trajectory
+                # winner — instead of silently degrading to the
+                # unpreconditioned kernel (round-5 review finding)
                 pcr = pcr_pack(A_full, s, free)
                 if precondition == "adi":
                     pcr_z = pcr_pack(A_full, s, free, axis=-2)
@@ -904,7 +911,13 @@ def run_sweep_time_chunked(problem: Problem2D, sample_k, fwhm, *,
     ``warm_start='extrapolate'`` is exact across chunk boundaries: the
     penultimate field of each chunk is threaded into the next, so the
     chunked trajectory equals the unchunked one bitwise (pinned in
-    tests/test_warmstart.py).
+    tests/test_warmstart.py). Exception: ``precondition='adaptive'`` —
+    the per-lane iteration-count carry is NOT threaded across chunks
+    (each chunk's first step conservatively re-runs the deep ADI branch
+    for every lane), so chunked adaptive runs are tolerance-equal, not
+    bitwise, to the unchunked scan. Adaptive is a measured-negative
+    option in the batched regime (BENCHMARKS.md), so the conservative
+    re-init is documented rather than plumbed.
 
     ``rtol_wrt`` and ``f64_refine`` thread into the underlying sweep
     makers (both mesh kinds) — chunked mixed-precision sweeps carry the

@@ -285,3 +285,34 @@ class TestMgz:
                                   precondition="mgz", maxiter=2001)
             with pytest.raises(ValueError, match="default coefficients"):
                 fn(kappas=np.asarray(problem.kappas) * 1.1)
+
+
+def test_vmem_only_preconditions_reject_z_sharding():
+    """adaptive/mgz + mesh z-sharding must raise the clean requires-VMEM
+    ValueError, not slip past validation with a stale use_vmem and crash
+    later (round-5 review finding)."""
+    import jax
+    from jax.sharding import Mesh
+    from heatflow_tpu.geometry import build_layout, coupler_watcher_points
+    from heatflow_tpu.mesh.structured import build_structured_mesh
+    from heatflow_tpu.sim.bc import HeatingCurve
+    from heatflow_tpu.sim.problem import build_problem
+    from heatflow_tpu.sim.stepper import make_simulate_fn
+
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["timing"]["num_steps"] = 2
+    df = synthetic_heating()
+    heating = HeatingCurve(time=df["time"].to_numpy(),
+                           temp=df["temp"].to_numpy(),
+                           oside=df["oside"].to_numpy())
+    domain, mats = build_layout(cfg)
+    mesh_s = build_structured_mesh(domain, mats)
+    problem = build_problem(mesh_s, heating, cfg,
+                            watcher_points=coupler_watcher_points(cfg))
+    devs = np.array(jax.devices()[:1]).reshape(1, 1)
+    dev_mesh = Mesh(devs, axis_names=("config", "z"))
+    for prec in ("adaptive", "mgz"):
+        with pytest.raises(ValueError, match="VMEM"):
+            make_simulate_fn(problem, dtype=jnp.float32, rtol=1e-5,
+                             record_gradient=False, precondition=prec,
+                             mesh=dev_mesh, maxiter=2002)
